@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the workload's headline queries and prints one
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Timing discipline mirrors the reference's lab executor
+(``dqo/lab/query_executor.py:79-103``: warm up, then measure): one JVM
+warm-up action first, then each query is executed once with a ``noop``
+write sink (full execution, no driver collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from deep_query_optimization_spark.session import get_spark  # noqa: E402
+from deep_query_optimization_spark.workload import REGISTRY  # noqa: E402
+
+
+def run_once(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("dqo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JIT + codegen + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, wq in REGISTRY.items():
+        t0 = time.time()
+        run_once(wq.fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "workload_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,629 @@
+"""The engine's query surface, exercised end-to-end.
+
+One entry per operator/construct from SURVEY.md §2 (the reference's SQL
+surface, ``dqo/relational/sql/ast.py:178-469``, and logical operators,
+``dqo/relational/tree/node.py``), plus the extensions the reference only
+parsed but never executed (GROUP BY / HAVING / ORDER BY / LIMIT,
+``ast.py:213-226``) and the Spark-native extensions (windows, set ops).
+
+Each query is implemented with the DataFrame API (so the operator → Spark
+mapping is explicit and Catalyst-optimizable) and paired with an ANSI-SQL
+oracle that DuckDB runs on the same parquet; the driver hash-compares the
+two result sets.
+
+Determinism rules (cross-engine float discipline):
+- raw column values and per-row arithmetic are IEEE-deterministic — never
+  rounded;
+- aggregates over doubles accumulate in engine-specific order — always
+  rounded (2-6 decimals) on BOTH sides;
+- integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  HUGEINT, Spark keeps LongType).
+
+Scale notes: every query here is a declarative plan — filters and
+projections push into the parquet scan, small dimensions broadcast,
+aggregations are partial (map-side) before the shuffle. Queries whose
+naive form is quadratic (pairwise similarity) are capped by a selective
+predicate on one side; the scale path for those lives in
+``operators/`` (LSH variants).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class WorkloadQuery(NamedTuple):
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, WorkloadQuery] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = WorkloadQuery(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table (lazy parquet scan).
+
+    The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects; we read nanos as long and rebuild a
+    micro-precision timestamp column (floor division — deterministic)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 core surface: scan / project / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem WHERE l_quantity > 30""",
+)
+def q_scan_filter_project(spark, sf_dir):
+    """RelationNode + SelectionNode + ProjectionNode (reference
+    ``node.py:156,206,389``). Filter + projection push into the scan."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "filter_compare_ops",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_discount >= 0.05 AND l_tax < 0.04
+         AND l_linenumber != 3 AND l_returnflag = 'R'""",
+)
+def q_filter_compare_ops(spark, sf_dir):
+    """All six comparison operators of the grammar (``ast.py:387-404``)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_tax") < 0.04)
+        & (F.col("l_linenumber") != 3)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "filter_like",
+    """SELECT p_partkey, p_name, p_brand FROM part
+       WHERE p_name LIKE '%re%' AND p_brand NOT LIKE 'Brand#1%'""",
+)
+def q_filter_like(spark, sf_dir):
+    """LIKE / NOT LIKE (``ast.py:318-319,359-368``)."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%re%") & ~F.col("p_brand").like("Brand#1%")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "filter_between",
+    """SELECT l_orderkey, l_quantity FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20
+         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'""",
+)
+def q_filter_between(spark, sf_dir):
+    """BETWEEN over numbers and timestamps (``ast.py:330-331,354-358``;
+    rewritten to >= AND <= in ``p_predicates`` exactly as Spark does)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_shipdate").between(F.lit("1996-01-01").cast("timestamp"), F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_quantity")
+
+
+@register(
+    "filter_in_list",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'""",
+)
+def q_filter_in_list(spark, sf_dir):
+    """IN (value list) → ``Column.isin`` (``ast.py:332-348``,
+    ``MultiValueOperand`` in ``tree/parser.py:122-123``)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & (F.col("o_orderstatus") == "F")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "filter_null_and_bool",
+    """SELECT o_orderkey, (o_totalprice > 200000) AS is_big FROM orders
+       WHERE o_orderdate IS NOT NULL AND ((o_totalprice > 200000) = TRUE OR o_custkey < 10)""",
+)
+def q_filter_null_and_bool(spark, sf_dir):
+    """IS [NOT] NULL and boolean-literal comparisons
+    (``ast.py:320-329,349-353``). The schema has no stored BOOL column,
+    so the boolean is derived — same shape the reference's BOOL
+    conditions take."""
+    o = t(spark, sf_dir, "orders")
+    is_big = F.col("o_totalprice") > 200000
+    return o.filter(F.col("o_orderdate").isNotNull() & ((is_big == F.lit(True)) | (F.col("o_custkey") < 10))).select(
+        "o_orderkey", is_big.alias("is_big")
+    )
+
+
+@register(
+    "arithmetic_projection",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+              l_quantity + 5 AS qty_plus, l_extendedprice / 2 AS half_price
+       FROM lineitem WHERE l_quantity < 5""",
+)
+def q_arithmetic_projection(spark, sf_dir):
+    """Arithmetic ``+ - * /`` in expressions (``ast.py:296-305``).
+    Per-row IEEE arithmetic — bit-identical across engines, no rounding."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 5).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+        (F.col("l_quantity") + 5).alias("qty_plus"),
+        (F.col("l_extendedprice") / 2).alias("half_price"),
+    )
+
+
+@register(
+    "case_when",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_quantity < 10 THEN 'low'
+                   WHEN l_quantity < 30 THEN 'mid'
+                   ELSE 'high' END AS qty_band
+       FROM lineitem WHERE l_partkey < 100""",
+)
+def q_case_when(spark, sf_dir):
+    """CASE WHEN — reserved in the reference grammar (``ast.py:33-36``)
+    but never given a production; implemented for real here."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_partkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low").when(F.col("l_quantity") < 30, "mid").otherwise("high").alias("qty_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_flagship_min",
+    """SELECT MIN(l.l_extendedprice) AS min_price, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM lineitem l, orders o
+       WHERE l.l_orderkey = o.o_orderkey AND o.o_totalprice > 150000""",
+)
+def q_join_flagship_min(spark, sf_dir):
+    """The reference's generated-query shape (SURVEY §7 slice 0):
+    equi-join + selection + MIN projection with implicit global
+    aggregation (``query_generator/__init__.py:151-153``)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.min("l_extendedprice").alias("min_price"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "join_multiway_broadcast",
+    """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS order_cnt,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name IN ('ASIA', 'AMERICA') AND o.o_orderstatus = 'F'
+       GROUP BY n.n_name""",
+)
+def q_join_multiway_broadcast(spark, sf_dir):
+    """5-way join chain. Scale design: nation/region (and at 100 TB,
+    still tiny) are explicitly broadcast so the only shuffles are the
+    two fact-fact joins on their keys; aggregation is partial map-side."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_theta",
+    """SELECT s.s_suppkey, n.n_nationkey FROM supplier s
+       JOIN nation n ON s.s_nationkey < n.n_regionkey""",
+)
+def q_join_theta(spark, sf_dir):
+    """Theta join (non-equi) — the reference parser accepts any
+    comparison between two columns (``tree/parser.py:204-205``).
+    Spark: BroadcastNestedLoopJoin; only sane when one side broadcasts."""
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return s.join(n, s.s_nationkey < n.n_regionkey).select("s_suppkey", "n_nationkey")
+
+
+@register(
+    "join_self_alias",
+    """SELECT o1.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+       FROM orders o1 JOIN orders o2
+         ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+       GROUP BY o1.o_custkey""",
+)
+def q_join_self_alias(spark, sf_dir):
+    """Self-join via aliases (reference supports self-joins through
+    table aliasing, ``dqo/relational/models.py:10``)."""
+    o1 = t(spark, sf_dir, "orders").alias("o1")
+    o2 = t(spark, sf_dir, "orders").alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey")) & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+@register(
+    "join_or_spanning",
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       WHERE c.c_acctbal > 9000 OR o.o_totalprice > 350000""",
+)
+def q_join_or_spanning(spark, sf_dir):
+    """OR whose operands span two relations — the reference hoists the
+    OrNode above the spanning join (``tree/parser.py:149-192``,
+    ``node.py:264``); in Spark the filter simply sits above the join and
+    Catalyst keeps it there (it is not pushable)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter((F.col("c_acctbal") > 9000) | (F.col("o_totalprice") > 350000))
+        .select("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "cross_join",
+    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+       WHERE r.r_regionkey <> n.n_regionkey""",
+)
+def q_cross_join(spark, sf_dir):
+    """Comma-list cross join (``ast.py:229-254``)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select("r_name", "n_name")
+
+
+@register(
+    "in_subquery_semi",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+)
+def q_in_subquery_semi(spark, sf_dir):
+    """IN (subquery) → left-semi join (``ast.py:332-348``)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "not_exists_anti",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_not_exists_anti(spark, sf_dir):
+    """Anti-join extension (reference has no NOT IN/EXISTS execution;
+    Spark: left_anti)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "outer_join",
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+       LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'""",
+)
+def q_outer_join(spark, sf_dir):
+    """Left outer join extension (absent from the reference, §2.9)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "derived_table",
+    """SELECT ROUND(AVG(t.total), 2) AS avg_total, CAST(COUNT(*) AS BIGINT) AS cust_cnt
+       FROM (SELECT o_custkey, SUM(o_totalprice) AS total
+             FROM orders GROUP BY o_custkey) t
+       WHERE t.total > 100000""",
+)
+def q_derived_table(spark, sf_dir):
+    """Derived table in FROM → AliasNode (``ast.py:249-254``,
+    ``tree/parser.py:94-101``)."""
+    o = t(spark, sf_dir, "orders")
+    inner = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total")).alias("t")
+    return inner.filter(F.col("total") > 100000).agg(
+        F.round(F.avg("total"), 2).alias("avg_total"), F.count(F.lit(1)).alias("cust_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 aggregates (implicit single group, like the reference) + extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    """SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_price,
+              ROUND(AVG(l_discount), 6) AS avg_disc,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM lineitem WHERE l_returnflag = 'A'""",
+)
+def q_agg_global(spark, sf_dir):
+    """SUM/AVG/COUNT/MIN/MAX + COUNT(*) with implicit global grouping —
+    the only aggregation the reference executes (``ast.py:407-424``,
+    ``tree/parser.py:230-249``)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "group_by_having",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              ROUND(AVG(l_extendedprice), 2) AS avg_price,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       GROUP BY l_returnflag, l_linestatus
+       HAVING COUNT(*) > 10""",
+)
+def q_group_by_having(spark, sf_dir):
+    """TPC-H Q1 shape. GROUP BY/HAVING are grammar-only in the reference
+    (``ast.py:213-226``, dropped by ``tree/parser.py:21-36``) — executed
+    for real here. Partial aggregation happens map-side; the shuffle
+    carries only group keys × partial states."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .filter(F.col("count_order") > 10)
+    )
+
+
+@register(
+    "order_by_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_order_by_limit(spark, sf_dir):
+    """ORDER BY/LIMIT (grammar-only in the reference, executed here).
+    Spark runs this as TakeOrderedAndProject — no global sort at scale."""
+    return t(spark, sf_dir, "orders").orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "distinct_projection",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct_projection(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "window_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         FROM orders) WHERE rn <= 2""",
+)
+def q_window_topk_per_group(spark, sf_dir):
+    """Window-function extension (§2.9: absent from the reference).
+    Deterministic tie-break on the key column."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "set_ops",
+    """SELECT c_nationkey AS nk FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nk FROM supplier""",
+)
+def q_set_ops(spark, sf_dir):
+    """Set-operation extension (§2.9)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "union_all_agg",
+    """SELECT kind, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         SELECT 'customer' AS kind, c_nationkey AS nk FROM customer
+         UNION ALL
+         SELECT 'supplier' AS kind, s_nationkey AS nk FROM supplier
+       ) u WHERE nk < 10 GROUP BY kind""",
+)
+def q_union_all_agg(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nk"))
+    return c.unionAll(s).filter(F.col("nk") < 10).groupBy("kind").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 statistics-collection queries (the reference's StatQueries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_numeric_moments",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS total,
+              CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT) AS nulls,
+              CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS distinct_cnt,
+              MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v,
+              ROUND(AVG(l_extendedprice), 4) AS mean_v,
+              ROUND(VAR_SAMP(l_extendedprice), 2) AS var_v
+       FROM lineitem""",
+)
+def q_stats_numeric_moments(spark, sf_dir):
+    """The reference's per-column stats pass (``postgres.py:189-226``):
+    total/nulls/distinct/min/max/mean/variance in ONE aggregation over
+    the table — one scan, partial aggregation, no extra shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(c.isNull(), 1)).alias("nulls"),
+        F.countDistinct(c).alias("distinct_cnt"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.round(F.avg(c), 4).alias("mean_v"),
+        F.round(F.var_samp(c), 2).alias("var_v"),
+    )
+
+
+@register(
+    "stats_string_lengths",
+    """SELECT MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len,
+              ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+              ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)), 4) AS avg_words
+       FROM documents""",
+)
+def q_stats_string_lengths(spark, sf_dir):
+    """String stats = char-length + word-count distributions
+    (``postgres.py:202-203,234-236``). Word count via space counting —
+    identical semantics in both engines (documents are single-spaced)."""
+    d = t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    words = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).cast("double")
+    return d.agg(
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+        F.round(F.avg(words), 4).alias("avg_words"),
+    )
+
+
+@register(
+    "stats_histogram",
+    """WITH m AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+       SELECT CAST(LEAST(9, FLOOR((o_totalprice - m.mn) / ((m.mx - m.mn) / 10.0))) AS BIGINT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS freq
+       FROM orders, m GROUP BY 1""",
+)
+def q_stats_histogram(spark, sf_dir):
+    """10-bucket equi-width histogram (``postgres.py:122-186,460-511``
+    used width_bucket; same arithmetic expressed portably). Two scans of
+    one column (min/max then bucketize) — the min/max aggregate is a
+    broadcast-joined scalar, so no driver round-trip in the plan."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    bucket = F.least(F.lit(9), F.floor((F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10.0)))
+    return (
+        o.crossJoin(F.broadcast(m))
+        .select(bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@register(
+    "time_extract_groupby",
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+              CAST(COUNT(*) AS BIGINT) AS cnt,
+              ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders GROUP BY 1""",
+)
+def q_time_extract_groupby(spark, sf_dir):
+    """TIME columns as first-class (reference treats time as epoch
+    numbers, ``postgres.py:199-200,233``); year extraction + group-by."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+              event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+              ROUND(SUM(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup over the events table — the batch
+    equivalent of the streaming windowed aggregation in ``streaming/``.
+    Output bucket as a string so hashing is engine-neutral."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: wq.fn for name, wq in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: wq.oracle for name, wq in REGISTRY.items() if wq.oracle is not None}
