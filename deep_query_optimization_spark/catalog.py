@@ -210,12 +210,27 @@ def from_struct(name: str, schema: T.StructType) -> Table:
     return Table(name=name, columns=[Column(f.name, to_known_data_type(f.dataType)) for f in schema.fields])
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one driver table.
+
+    The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    reader rejects; we read nanos as long and rebuild a micro-precision
+    timestamp column (floor division — deterministic)."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
     """Read the driver's parquet tables and register them as temp views
     so both the DataFrame API and ``spark.sql`` can address them."""
     out: dict[str, DataFrame] = {}
     for name in tables:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

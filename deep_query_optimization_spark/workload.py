@@ -54,16 +54,10 @@ def register(name: str, oracle: str | None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table (lazy parquet scan).
+    """Load one driver table (lazy parquet scan; see catalog.read_table)."""
+    from deep_query_optimization_spark.catalog import read_table
 
-    The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; we read nanos as long and rebuild a
-    micro-precision timestamp column (floor division — deterministic)."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
