@@ -1,0 +1,159 @@
+"""Feedback-guided and histogram-balancing workload generators.
+
+Reference ``dqo/query_generator/guided.py``:
+
+- ``GuidedQueryGen`` (``:31-188``): run the query, compare its runtime
+  to a target bucket, then ``narrow`` (make it cheaper), ``stay`` or
+  ``broaden`` (make it more expensive); memoized runtimes.
+- ``BalancedQueryGen`` (``:191-330``): fills a log2-runtime histogram
+  uniformly by always targeting the least-filled partition, with a
+  patience-based abandonment policy and checkpoint/restore.
+
+The execution backend is injected as ``runner(sql) -> runtime_seconds``
+(the reference's was psycopg2+EXPLAIN ANALYZE; ours is the Spark lab
+executor, ``lab/executor.py``). Generators never touch Spark directly —
+they are pure control loops, testable with a fake runner.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from deep_query_optimization_spark.catalog import Database
+from deep_query_optimization_spark.generator import RandomQueryGen
+from deep_query_optimization_spark.generator.partitioner import Log2Partitioner
+from deep_query_optimization_spark.relational.builder import QueryBuilder
+from deep_query_optimization_spark.relational.query import Query
+
+# mutations ordered by their expected effect on runtime
+NARROWING = ("add_condition", "remove_relation", "remove_projection")
+BROADENING = ("remove_condition", "add_relation", "add_projection")
+
+
+@dataclass
+class GuidedQueryGen:
+    """Mutate a query until its runtime lands in [target_lo, target_hi]."""
+
+    db: Database
+    runner: Callable[[str], float]
+    target_lo: float
+    target_hi: float
+    seed: int | None = None
+    max_steps: int = 50
+    _memo: dict[str, float] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.rng = random.Random(self.seed)
+        self.builder = QueryBuilder(self.db, rng=self.rng)
+        self.steps = 0
+
+    def randomize_initial(self) -> None:
+        """Reference ``guided.py:115-117``."""
+        gen = RandomQueryGen(self.db, seed=self.rng.randint(0, 2**31))
+        self.builder.query = gen.randomize()
+
+    def run_query(self) -> float:
+        """Reference ``guided.py:94-109`` — memoized execution."""
+        sql = self.builder.query.to_sql()
+        if sql not in self._memo:
+            self._memo[sql] = self.runner(sql)
+        return self._memo[sql]
+
+    def _policy(self, runtime: float) -> tuple[str, ...]:
+        """narrow/stay/broaden (reference ``guided.py:119-145``)."""
+        if runtime > self.target_hi:
+            return NARROWING
+        if runtime < self.target_lo:
+            return BROADENING
+        return ()
+
+    def step(self) -> tuple[Query, float, bool]:
+        """One mutate-and-measure step (reference ``guided.py:170-177``).
+        Returns (query, runtime, hit_target)."""
+        self.steps += 1
+        runtime = self.run_query()
+        moves = self._policy(runtime)
+        if not moves:
+            return self.builder.query, runtime, True
+        for name in self.rng.sample(moves, len(moves)):
+            if self.builder.mutate(name):
+                break
+        return self.builder.query, runtime, False
+
+    def generate(self) -> tuple[Query, float] | None:
+        self.randomize_initial()
+        for _ in range(self.max_steps):
+            query, runtime, hit = self.step()
+            if hit:
+                return query.copy(), runtime
+        return None
+
+
+@dataclass
+class BalancedQueryGen:
+    """Fill the log2-runtime histogram uniformly.
+
+    Reference ``guided.py:191-330``: always target the least-filled
+    partition (``rargmin``, ``rl/__init__.py:19-31``), rotate through a
+    queue of in-flight guided generators (counteracts caching effects),
+    abandon targets after ``patience`` fruitless steps.
+    """
+
+    db: Database
+    runner: Callable[[str], float]
+    partitioner: Log2Partitioner = field(default_factory=Log2Partitioner)
+    seed: int | None = None
+    patience: int = 30
+    queue_size: int = 4
+
+    def __post_init__(self) -> None:
+        self.rng = random.Random(self.seed)
+        self.histogram: dict[int, int] = {b: 0 for b in self.partitioner.buckets}
+        self.dataset: list[tuple[str, float]] = []
+        self._queue: list[GuidedQueryGen] = []
+
+    def _rargmin(self) -> int:
+        """Random argmin over partition fills (reference
+        ``rl/__init__.py:19-31``)."""
+        mn = min(self.histogram.values())
+        return self.rng.choice([b for b, v in self.histogram.items() if v == mn])
+
+    def _spawn(self) -> GuidedQueryGen:
+        bucket = self._rargmin()
+        lo, hi = self.partitioner.bounds(bucket)
+        gen = GuidedQueryGen(self.db, self.runner, lo, hi, seed=self.rng.randint(0, 2**31), max_steps=self.patience)
+        gen.randomize_initial()
+        return gen
+
+    def _record(self, sql: str, runtime: float) -> None:
+        self.dataset.append((sql, runtime))
+        self.histogram[self.partitioner.bucket(runtime)] += 1
+
+    def generate(self, n: int) -> list[tuple[str, float]]:
+        """Generate n distinct (sql, runtime) rows. Every executed query
+        is recorded (reference ``guided.py:213-220`` — the histogram
+        callback fires on every run, not only on target hits)."""
+        seen: set[str] = set()
+        while len(self.dataset) < n:
+            while len(self._queue) < self.queue_size:
+                self._queue.append(self._spawn())
+            gen = self._queue.pop(0)
+            query, runtime, hit = gen.step()
+            sql = query.to_sql()
+            if sql not in seen:
+                seen.add(sql)
+                self._record(sql, runtime)
+            if not hit and gen.steps < gen.max_steps:
+                self._queue.append(gen)  # rotate: counteracts cache bias
+        return self.dataset
+
+    # -- checkpoint/restore (reference guided.py:282-306) --------------
+
+    def state(self) -> dict:
+        return {"histogram": dict(self.histogram), "dataset": list(self.dataset)}
+
+    def restore(self, state: dict) -> None:
+        self.histogram.update({int(k): v for k, v in state["histogram"].items()})
+        self.dataset = [tuple(x) for x in state["dataset"]]

@@ -1,0 +1,227 @@
+"""Timed query execution — the benchmark lab.
+
+Reference ``dqo/lab/query_executor.py``:
+
+- ``QueryExecutor.time`` (``:52-62``): cache-busting then timed run.
+  Postgres cache busting was ``DEALLOCATE ALL; DISCARD PLANS``; the
+  Spark analog is ``spark.catalog.clearCache()`` (noop unless something
+  was explicitly cached — Spark has no plan cache to discard, so the
+  honest protocol is the double-run below).
+- ``QueryExecutor.analyze`` (``:64-77``): EXPLAIN ANALYZE → (runtime,
+  plan JSON). Ours captures Spark's *optimized* logical plan JSON plus
+  the executed physical plan string — what the featurizer consumes.
+- ``QueryExecutor.execute`` (``:79-103``): run twice, keep the second
+  timing (cancels JIT/codegen/footer-cache effects).
+- ``FileQueryExecutor`` (``:106-203``): query-per-line files, dedup,
+  shuffle, skip-already-run.
+- ``DatasetExecutor`` (``:206-290``): re-run a labeled dataset with
+  checkpoint/resume and a drift report every ``report_every`` queries.
+- timeout: reference used ``statement_timeout=600s``
+  (``postgres.py:244-259``); ours is a watchdog that cancels the job
+  group (``SparkContext.cancelJobGroup``).
+
+Execution sink is a ``noop`` write: full pipeline runs, nothing is
+collected to the driver — runtimes measure the cluster, not the
+driver's deserialization.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+import threading
+import time
+from collections.abc import Iterable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deep_query_optimization_spark.relational.query import Query
+from deep_query_optimization_spark.relational.rewrite import optimize_query
+
+DEFAULT_TIMEOUT_S = 600.0  # reference postgres.py:244
+
+
+class QueryLog:
+    """Rotating CSV logger of ("query", runtime, "plan") rows
+    (reference ``dqo/log_utils/__init__.py`` + the CSV schema of
+    ``ExtendedQueriesDataset``)."""
+
+    def __init__(self, path: str, max_rows: int = 10_000) -> None:
+        self.base = Path(path)
+        self.max_rows = max_rows
+        self._rows_in_file = 0
+        self._index = 0
+        self.base.parent.mkdir(parents=True, exist_ok=True)
+
+    def _current(self) -> Path:
+        if self._index == 0:
+            return self.base
+        return self.base.with_suffix(f".{self._index}{self.base.suffix}")
+
+    def append(self, sql: str, runtime: float, plan: str = "") -> None:
+        if self._rows_in_file >= self.max_rows:
+            self._index += 1
+            self._rows_in_file = 0
+        new = not self._current().exists()
+        with open(self._current(), "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["query", "runtime", "plan"])
+            w.writerow([sql, runtime, plan])
+        self._rows_in_file += 1
+
+
+@dataclass
+class SparkQueryRunner:
+    """``runner(sql) -> runtime_s`` for the generators, plus analyze().
+
+    ``double_run=True`` applies the reference's run-twice-keep-second
+    discipline (``query_executor.py:79-103``)."""
+
+    spark: SparkSession
+    clear_cache: bool = True
+    double_run: bool = False
+    timeout_s: float = DEFAULT_TIMEOUT_S
+    log: QueryLog | None = None
+    group_prefix: str = "dqo-lab"
+
+    def _run_timed(self, df: DataFrame) -> float:
+        sc = self.spark.sparkContext
+        group = f"{self.group_prefix}-{id(df)}-{time.monotonic_ns()}"
+        sc.setJobGroup(group, "dqo lab timed run", interruptOnCancel=True)
+        timer = threading.Timer(self.timeout_s, lambda: sc.cancelJobGroup(group))
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        return time.perf_counter() - t0
+
+    def time(self, sql: str) -> float:
+        """Reference ``QueryExecutor.time`` (``:52-62``)."""
+        if self.clear_cache:
+            self.spark.catalog.clearCache()
+        df = self.spark.sql(sql)
+        runtime = self._run_timed(df)
+        if self.double_run:
+            runtime = self._run_timed(df)
+        if self.log is not None:
+            self.log.append(sql, runtime)
+        return runtime
+
+    def analyze(self, sql: str) -> tuple[float, str, str]:
+        """Reference ``QueryExecutor.analyze`` (``:64-77``): returns
+        (runtime_s, optimized_plan_json, executed_plan_str)."""
+        if self.clear_cache:
+            self.spark.catalog.clearCache()
+        df = self.spark.sql(sql)
+        runtime = self._run_timed(df)
+        qe = df._jdf.queryExecution()
+        plan_json = qe.optimizedPlan().toJSON()
+        physical = qe.executedPlan().toString()
+        if self.log is not None:
+            self.log.append(sql, runtime, plan_json)
+        return runtime, plan_json, physical
+
+    def time_query(self, query: Query) -> float:
+        """Engine-side optimizer hook: merge/contradiction rewrite first
+        (``relational/rewrite.py``); a contradictory query never reaches
+        the cluster — at 100 TB that's a full scan saved."""
+        q = query.copy()
+        if optimize_query(q):
+            if self.log is not None:
+                self.log.append(query.to_sql(), 0.0, "CONTRADICTION")
+            return 0.0
+        return self.time(q.to_sql())
+
+    __call__ = time
+
+
+@dataclass
+class FileQueryExecutor:
+    """Reference ``lab/query_executor.py:106-203``: execute
+    query-per-line files with dedup, shuffle, and skip-already-run."""
+
+    runner: SparkQueryRunner
+    done_path: str | None = None
+    shuffle: bool = True
+    seed: int | None = None
+
+    def _load_done(self) -> set[str]:
+        if self.done_path and os.path.exists(self.done_path):
+            with open(self.done_path) as f:
+                return {line.rstrip("\n") for line in f}
+        return set()
+
+    def _mark_done(self, sql: str) -> None:
+        if self.done_path:
+            with open(self.done_path, "a") as f:
+                f.write(sql + "\n")
+
+    def execute_file(self, path: str) -> list[tuple[str, float]]:
+        with open(path) as f:
+            queries = [line.strip() for line in f if line.strip()]
+        queries = list(dict.fromkeys(queries))  # dedup, keep order
+        if self.shuffle:
+            random.Random(self.seed).shuffle(queries)
+        done = self._load_done()
+        out: list[tuple[str, float]] = []
+        for sql in queries:
+            if sql in done:
+                continue
+            runtime = self.runner.time(sql)
+            self._mark_done(sql)
+            out.append((sql, runtime))
+        return out
+
+
+@dataclass
+class DatasetExecutor:
+    """Reference ``lab/query_executor.py:206-290``: re-run a labeled
+    (sql, expected_runtime) dataset with checkpoint/resume; emit a
+    drift report every ``report_every`` queries."""
+
+    runner: SparkQueryRunner
+    checkpoint_path: str | None = None
+    report_every: int = 100
+    reports: list[dict] = field(default_factory=list)
+
+    def _load_checkpoint(self) -> int:
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path) as f:
+                return int(f.read().strip() or 0)
+        return 0
+
+    def _save_checkpoint(self, i: int) -> None:
+        if self.checkpoint_path:
+            with open(self.checkpoint_path, "w") as f:
+                f.write(str(i))
+
+    def execute(self, rows: Iterable[tuple[str, float]]) -> list[tuple[str, float, float]]:
+        rows = list(rows)
+        start = self._load_checkpoint()
+        out: list[tuple[str, float, float]] = []
+        drift_acc: list[float] = []
+        for i, (sql, expected) in enumerate(rows):
+            if i < start:
+                continue
+            actual = self.runner.time(sql)
+            out.append((sql, expected, actual))
+            if expected > 0:
+                drift_acc.append(actual / expected)
+            self._save_checkpoint(i + 1)
+            if (i + 1) % self.report_every == 0 and drift_acc:
+                self.reports.append(
+                    {
+                        "at": i + 1,
+                        "mean_drift": sum(drift_acc) / len(drift_acc),
+                        "n": len(drift_acc),
+                    }
+                )
+                drift_acc = []
+        return out

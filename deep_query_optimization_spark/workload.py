@@ -615,6 +615,42 @@ def q_events_hourly_rollup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.5 generated workload: seeded RandomQueryGen output, executed by Spark
+# with the emitted SQL as its own oracle. Seeds picked for coverage:
+# 3-way joins (2, 22, 23), dimension joins (5), single fact table (17),
+# range contradictions the optimizer can short-circuit (7, 38).
+# ---------------------------------------------------------------------------
+
+GENERATED_SEEDS = (2, 5, 7, 17, 22, 38)
+
+
+def _register_generated() -> None:
+    from pathlib import Path
+
+    from deep_query_optimization_spark.catalog import Database, DataType
+    from deep_query_optimization_spark.generator import RandomQueryGen
+
+    snap = Path(__file__).resolve().parent / "snapshots" / "sf0.01_schema.json"
+    db = Database.load(str(snap))
+    proj_types = (DataType.NUMBER, DataType.FLOAT, DataType.STRING)
+    for seed in GENERATED_SEEDS:
+        gen = RandomQueryGen(db, seed=seed, max_tables=3, max_conditions=6, projection_types=proj_types)
+        sql = gen.randomize().to_sql()
+
+        def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+            from deep_query_optimization_spark.catalog import load_tables
+
+            load_tables(spark, sf_dir)
+            return spark.sql(_sql)
+
+        name = f"generated_seed{seed}"
+        REGISTRY[name] = WorkloadQuery(name, fn, sql)
+
+
+_register_generated()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wq.fn for name, wq in REGISTRY.items()}
 

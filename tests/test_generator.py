@@ -1,0 +1,175 @@
+"""Workload-generator tests with a fake runner (reference style:
+seeded-random generation + FakeClient policy tests,
+``dqo/query_generator/tests/``)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import pytest
+
+from deep_query_optimization_spark.catalog import Database
+from deep_query_optimization_spark.generator import RandomQueryGen
+from deep_query_optimization_spark.generator.augment import permutations
+from deep_query_optimization_spark.generator.guided import BalancedQueryGen, GuidedQueryGen
+from deep_query_optimization_spark.generator.partitioner import Log2Partitioner
+from deep_query_optimization_spark.generator.rl import EpisodicQueryGen, QueryEnv, SarsaAgent
+
+SNAPSHOT = Path(__file__).resolve().parent.parent / "deep_query_optimization_spark/snapshots/sf0.01_schema.json"
+
+
+@pytest.fixture(scope="module")
+def db() -> Database:
+    return Database.load(str(SNAPSHOT))
+
+
+class FakeRunner:
+    """Runtime model: more relations/conditions → longer/shorter.
+    Mirrors the FakeClient stub idea (``dqo/db/clients/fake.py:8-41``)."""
+
+    def __init__(self) -> None:
+        self.calls: list[str] = []
+
+    def __call__(self, sql: str) -> float:
+        self.calls.append(sql)
+        joins = sql.count(" = t")
+        conds = sql.count(" WHERE ") and len(sql.split(" WHERE ")[1].split(" AND "))
+        base = 0.2 * (1 + sql.count(","))
+        return max(0.01, base * (1 + joins) / (1 + 0.3 * conds))
+
+
+def test_random_gen_deterministic(db):
+    a = RandomQueryGen(db, seed=42).randomize()
+    b = RandomQueryGen(db, seed=42).randomize()
+    assert a.to_sql() == b.to_sql()
+    c = RandomQueryGen(db, seed=43).randomize()
+    assert a.to_sql() != c.to_sql()  # astronomically unlikely to collide
+
+
+def test_random_gen_valid_queries(db):
+    for seed in range(30):
+        q = RandomQueryGen(db, seed=seed).randomize()
+        assert q.valid(), f"seed {seed} invalid: {q.to_sql()}"
+        sql = q.to_sql()
+        assert sql.startswith("SELECT MIN(") or sql.startswith("SELECT ")
+
+
+def test_random_gen_projection_type_restriction(db):
+    from deep_query_optimization_spark.catalog import DataType
+
+    for seed in range(20):
+        gen = RandomQueryGen(db, seed=seed, projection_types=(DataType.NUMBER, DataType.FLOAT))
+        q = gen.randomize()
+        assert all(p.column.dtype in (DataType.NUMBER, DataType.FLOAT) for p in q.projections)
+
+
+def test_log2_partitioner():
+    p = Log2Partitioner(-3, 8)
+    assert p.bucket(1.0) == 0
+    assert p.bucket(0.001) == -3  # clipped
+    assert p.bucket(10_000) == 8  # clipped
+    assert p.bucket(5.0) == round(math.log2(5.0))
+    lo, hi = p.bounds(3)
+    assert (lo, hi) == (4.0, 8.0)
+
+
+def test_guided_gen_converges_with_fake_runner(db):
+    runner = FakeRunner()
+    gen = GuidedQueryGen(db, runner, target_lo=0.05, target_hi=1.0, seed=5, max_steps=40)
+    result = gen.generate()
+    assert result is not None
+    query, runtime = result
+    assert 0.05 <= runtime <= 1.0
+    assert query.valid()
+
+
+def test_guided_gen_memoizes(db):
+    runner = FakeRunner()
+    gen = GuidedQueryGen(db, runner, target_lo=0.0, target_hi=100.0, seed=5)
+    gen.randomize_initial()
+    gen.run_query()
+    n = len(runner.calls)
+    gen.run_query()
+    assert len(runner.calls) == n  # memo hit
+
+
+def test_balanced_gen_fills_histogram(db):
+    runner = FakeRunner()
+    bal = BalancedQueryGen(db, runner, partitioner=Log2Partitioner(-3, 1), seed=11, patience=10)
+    rows = bal.generate(25)
+    assert len(rows) >= 25
+    assert sum(bal.histogram.values()) >= 25
+    assert all(isinstance(s, str) and isinstance(r, float) for s, r in rows)
+    # checkpoint/restore round-trip
+    state = bal.state()
+    bal2 = BalancedQueryGen(db, runner, partitioner=Log2Partitioner(-3, 1), seed=12)
+    bal2.restore(state)
+    assert bal2.histogram == bal.histogram
+    assert bal2.dataset == bal.dataset
+
+
+def test_rl_env_and_agent(db):
+    runner = FakeRunner()
+    env = QueryEnv(db, runner, target_bucket=-2, seed=3)
+    state = env.reset()
+    assert len(state) == 3
+    s2, reward, done, runtime = env.step("add_condition")
+    assert runtime > 0
+    assert reward == 1000.0 or reward < 0
+    agent = SarsaAgent(seed=1)
+    a = agent.act(state)
+    assert a in QueryEnv.__annotations__ or isinstance(a, str)
+    agent.update(state, a, reward, s2, agent.act(s2))
+    assert agent.q[state][a] != 0.0
+
+
+def test_episodic_gen_harvests_dataset(db):
+    runner = FakeRunner()
+    gen = EpisodicQueryGen(db, runner, partitioner=Log2Partitioner(-2, 0), seed=9)
+    rows = gen.generate(episodes_per_bucket=1)
+    assert len(rows) > 0
+    assert all(r > 0 for _, r in rows)
+
+
+def test_augment_permutations_equivalent(db):
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Condition,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER)))
+    q.add_condition(Condition(ColumnRef(o, "o_totalprice", DataType.FLOAT), ">", 1000.0))
+    variants = permutations(q, limit=8, seed=0)
+    assert variants[0] == q.to_sql()
+    assert len(set(variants)) == len(variants)
+    assert len(variants) >= 4  # 2 rel orders × 2 pred orders × flips
+    for v in variants:
+        assert v.startswith("SELECT")
+        assert v.count("FROM") == 1
+
+
+def test_augment_degenerate_single_emission(db):
+    # 1 relation + 1 LIKE predicate: nothing to permute or flip
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Condition,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    p = TableRef("part")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(p, "p_partkey", DataType.NUMBER), "MIN"))
+    q.add_condition(Condition(ColumnRef(p, "p_name", DataType.STRING), "LIKE", "%x%"))
+    assert permutations(q, limit=8, seed=0) == [q.to_sql()]
