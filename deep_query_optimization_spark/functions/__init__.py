@@ -1,0 +1,65 @@
+"""Column-function helpers shared by the pipeline operators.
+
+The crucial primitive is a *cross-engine deterministic* 64/32-bit hash:
+``H(s) = int(md5(s)[:k], 16)`` — expressible as built-in functions in
+both Spark (``conv(substr(md5(s),1,k),16,10)``) and DuckDB
+(``('0x' || substr(md5(s),1,k))::BIGINT``), so every hash-based
+operator (minhash, LSH, simhash, fingerprints) can be validated against
+an exact SQL oracle. All JVM-side — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# prime > 2^32 for minhash universal hashing; operands stay < 2^62
+MINHASH_PRIME = 4294967311
+
+
+def hash64(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column (md5 prefix)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash32(col: Column | str) -> Column:
+    """32-bit deterministic hash (md5 prefix) — safe operand for
+    universal hashing mod a 33-bit prime inside int64."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization, identical to DuckDB
+    ``regexp_split_to_array(trim(x), '\\s+')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column as an array —
+    pure JVM expression (transform over sequence), no UDF."""
+    w = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine between two float-array columns, computed JVM-side with
+    ``zip_with``/``aggregate`` — no UDF. Elements are upcast to double
+    BEFORE multiplying so each term is the exact double product of the
+    float32 inputs; with the same left-to-right accumulation order the
+    result is bit-identical to the DuckDB oracle's explicit formula."""
+
+    def dbl(x):
+        return x.cast("double")
+
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: dbl(x) * dbl(y)), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)

@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design notes (the whole point of each variant):
+
+- ``exact_duplicates``: hash-groupBy on a digest of the content — ONE
+  shuffle keyed by digest, never by the full payload. At 100 TB the
+  shuffle carries 32-byte keys, not documents.
+- ``jaccard_pairs``: exact pairwise n-gram Jaccard via shingle
+  explode → co-shingle join → group count. Quadratic in the worst case
+  — correct but only affordable after candidate pruning; it is the
+  verifier stage, not the scale path.
+- ``minhash_lsh_candidates``: the scale path. Per-doc k-minhash
+  signature (one explode + one groupBy), banded into b keys; candidate
+  pairs only join within equal band buckets. Cost is O(docs × k) + a
+  join whose fan-out is the true-duplicate density, not |docs|².
+- ``simhash``: 64→``bits``-bit locality hash via per-token bit votes;
+  near-dups differ in few bits. One explode + one groupBy.
+- ``embedding_near_dup``: cosine threshold pairs; brute-force verifier
+  (bounded by a probe-side filter) — the ANN scale path lives in
+  ``operators/similarity.py``.
+
+Every hash here is the cross-engine ``md5``-prefix hash
+(``functions.hash32``), so each operator has an exact DuckDB oracle
+(``operators/oracles.py`` generates the matching SQL).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deep_query_optimization_spark.functions import (
+    MINHASH_PRIME,
+    cosine_similarity,
+    hash32,
+    word_shingles,
+)
+
+
+def minhash_params(k: int = 16, seed: int = 7) -> list[tuple[int, int]]:
+    """k universal-hash (a, b) pairs, deterministic from seed.
+    a, b < 2^30 so a*h32 + b < 2^62 stays in int64 in any engine."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 2**30), rng.randrange(0, 2**30)) for _ in range(k)]
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact-dup groups: digest → (keep_id, dup_cnt). Reference-free
+    extension (BASELINE.json north star)."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("digest"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_hash) exploded rows; distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s"))
+        .filter(F.col("s") != "")
+        .select("id", hash32(F.col("s")).alias("hv"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ t).
+
+    inter/(|A|+|B|-inter) computed from co-shingle counts; the join is
+    on shingle hash so equal shingles collide exactly in any engine."""
+    sh = shingle_hashes(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3, seed: int = 7) -> DataFrame:
+    """Per-doc k-minhash signature columns m0..m{k-1} — one aggregation
+    over exploded shingle hashes; partial min happens map-side, so the
+    shuffle carries one row per (doc, k) not per shingle."""
+    sh = shingle_hashes(df, id_col, text_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate duplicate pairs via banded minhash (b bands × r=k/b
+    rows). Pairs agreeing on ANY band are emitted (distinct)."""
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n, seed)
+    band_frames = []
+    for bi in range(bands):
+        key = F.concat_ws("-", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)])
+        band_frames.append(sig.select(F.col("id"), F.lit(bi).alias("band"), key.alias("key")))
+    all_bands = band_frames[0]
+    for fr in band_frames[1:]:
+        all_bands = all_bands.unionAll(fr)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash: bit j is the sign of the sum of
+    votes (±1) of token-hash bit j over all tokens (with multiplicity).
+    One explode + one groupBy with ``bits`` conditional sums."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hv = hash32(F.col("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(hv, j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*votes)
+    sig: Column = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", sig.alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Cosine-threshold near-duplicate pairs. ``probe_filter`` bounds
+    the left side (correctness verifier); unbounded all-pairs at scale
+    must go through LSH bucketing first (similarity.py)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    if probe_filter is not None:
+        a = a.filter(probe_filter)
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -616,6 +616,115 @@ def q_events_hourly_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Data-pipeline operators (dedup / similarity / text / multimodal) —
+# first-class components beyond the reference (BASELINE.json north star).
+# Implementations in operators/*; DuckDB oracles generated from the same
+# constants in operators/oracles.py.
+# ---------------------------------------------------------------------------
+
+from deep_query_optimization_spark.operators import oracles as _orc  # noqa: E402
+
+
+@register("dedup_exact", _orc.dedup_exact())
+def q_dedup_exact(spark, sf_dir):
+    from deep_query_optimization_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("dedup_ngram_jaccard", _orc.dedup_ngram_jaccard())
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 (the verifier tier; the
+    sf0.01 corpus has 25 planted near-dup pairs)."""
+    from deep_query_optimization_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", _orc.dedup_minhash_lsh())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """Banded-minhash candidate pairs (k=16, 4 bands) — the scale tier."""
+    from deep_query_optimization_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text", k=16, bands=4)
+
+
+@register("dedup_simhash", _orc.dedup_simhash())
+def q_dedup_simhash(spark, sf_dir):
+    from deep_query_optimization_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@register("dedup_embedding_cosine", _orc.embedding_near_dup())
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from deep_query_optimization_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, probe_filter=SF.col("id_a") < 100
+    )
+
+
+@register("sim_topk_bruteforce", _orc.sim_topk())
+def q_sim_topk_bruteforce(spark, sf_dir):
+    from deep_query_optimization_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("sim_topk_lsh", None)  # approximate: rows-only; recall vs exact tested in pytest
+def q_sim_topk_lsh(spark, sf_dir):
+    from deep_query_optimization_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=6)
+
+
+@register("text_quality", _orc.text_quality())
+def q_text_quality(spark, sf_dir):
+    from deep_query_optimization_spark.operators.text import quality_features
+
+    return quality_features(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("text_langid", _orc.text_langid())
+def q_text_langid(spark, sf_dir):
+    from deep_query_optimization_spark.operators.text import lang_id
+
+    return lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("text_fingerprint", _orc.text_fingerprint())
+def q_text_fingerprint(spark, sf_dir):
+    from deep_query_optimization_spark.operators.text import fingerprint
+
+    return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("multimodal_meta", _orc.multimodal_meta())
+def q_multimodal_meta(spark, sf_dir):
+    """Metadata projection of the multimodal table — the pushdown-first
+    access path that never touches payload bytes."""
+    from deep_query_optimization_spark.operators.multimodal import attach_payload
+
+    mm = attach_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.select("doc_id", F.col("meta.modality").alias("modality"), F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@register("multimodal_decode", _orc.multimodal_decode())
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (stub codec) — checks the whole
+    plumbing: payload bytes → Python worker → typed rows."""
+    from deep_query_optimization_spark.operators.multimodal import attach_payload, decode
+
+    mm = attach_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode(mm).select("doc_id", "modality", "n_bytes", "width", "height", "n_frames")
+
+
+# ---------------------------------------------------------------------------
 # §2.5 generated workload: seeded RandomQueryGen output, executed by Spark
 # with the emitted SQL as its own oracle. Seeds picked for coverage:
 # 3-way joins (2, 22, 23), dimension joins (5), single fact table (17),

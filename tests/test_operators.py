@@ -1,0 +1,213 @@
+"""Pipeline-operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_query_optimization_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+@pytest.fixture(scope="module")
+def emb(tables):
+    return tables["embeddings"]
+
+
+# -- hashing portability ------------------------------------------------
+
+
+def test_hash64_matches_python_md5(spark):
+    from deep_query_optimization_spark.functions import hash32, hash64
+
+    df = spark.createDataFrame([("abc",), ("hello world",)], ["s"])
+    rows = {r["s"]: (r["h64"], r["h32"]) for r in df.select("s", hash64("s").alias("h64"), hash32("s").alias("h32")).collect()}
+    for s, (h64, h32) in rows.items():
+        md5 = hashlib.md5(s.encode()).hexdigest()
+        assert h64 == int(md5[:15], 16)
+        assert h32 == int(md5[:8], 16)
+
+
+# -- dedup --------------------------------------------------------------
+
+
+def test_exact_duplicates_finds_planted(spark):
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "unique")], ["doc_id", "text"]
+    )
+    out = {r["digest"]: (r["keep_id"], r["dup_cnt"]) for r in dedup.exact_duplicates(df, "doc_id", "text").collect()}
+    assert sorted(v for v in out.values()) == [(0, 2), (2, 1)]
+
+
+def test_jaccard_pairs_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f"),  # identical → jaccard 1.0
+            (2, "x y z w v u"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (0, 1, 1.0)
+
+
+def test_minhash_lsh_recall_on_driver_docs(docs):
+    """k=16, b=4 banding has s-curve threshold (1/b)^(1/r) ≈ 0.71:
+    pairs at jaccard j are caught with prob 1-(1-j^4)^4 (≈0.95 at
+    j=0.85, →1 as j→1). Assert high-but-not-perfect recall on the
+    planted ≥0.8 pairs and reasonable precision of the candidates."""
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text", k=16, bands=4).collect()
+    }
+    assert true_pairs, "driver corpus should contain planted near-dups"
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.85, f"recall {recall:.2f} over {len(true_pairs)} true pairs"
+    # candidates shouldn't explode: bounded by a small multiple of truth
+    assert len(cand) <= max(10, 3 * len(true_pairs))
+
+
+def test_simhash_deterministic_and_bounded(docs):
+    a = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    b = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert a == b
+    assert all(0 <= v < 2**16 for v in a.values())
+
+
+def test_simhash_near_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy cat again and again"),
+            (2, "completely different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    s = {r["id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    d01 = bin(s[0] ^ s[1]).count("1")
+    d02 = bin(s[0] ^ s[2]).count("1")
+    assert d01 < d02
+
+
+# -- similarity ---------------------------------------------------------
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, probes, k=5).collect()
+    assert len(out) == 15
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for probe_id, rows in by_probe.items():
+        rnks = sorted(r["rnk"] for r in rows)
+        assert rnks == [1, 2, 3, 4, 5]
+        coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert coss == sorted(coss, reverse=True)
+        assert all(r["nn_id"] != probe_id for r in rows)
+
+
+def test_lsh_topk_subset_of_bucket(emb):
+    """LSH results must be a subset of brute-force scores (same cosine
+    values for pairs it does return)."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["probe_id"], r["nn_id"]): r["cos"]
+        for r in similarity.cosine_topk(emb, probes, k=500).collect()
+    }
+    approx = similarity.hyperplane_lsh_topk(emb, probes, k=5, n_planes=6).collect()
+    for r in approx:
+        assert exact[(r["probe_id"], r["nn_id"])] == r["cos"]
+
+
+# -- text ---------------------------------------------------------------
+
+
+def test_quality_features_shapes(docs):
+    out = text.quality_features(docs, "doc_id", "text").collect()
+    assert len(out) == docs.count()
+    for r in out[:20]:
+        assert 0 <= r["stop_ratio"] <= 1
+        assert 0 <= r["punct_ratio"] <= 1
+        assert r["quality_band"] in ("low", "mid", "high")
+
+
+def test_lang_id_marker_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat of the mat"),
+            (1, "el gato de la casa"),
+            (2, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df, "doc_id", "text").collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    s = "abcdefghij"
+    window, base, mod = 4, 257, 9007199254740881
+
+    def rk(sub: str) -> int:
+        acc = 0
+        for ch in sub:
+            acc = (acc * base + ord(ch)) % mod
+        return acc
+
+    expected = [rk(s[i : i + window]) for i in range(len(s) - window + 1)]
+    df = spark.createDataFrame([(0, s)], ["doc_id", "text"])
+    row = text.rolling_fingerprints(df, "doc_id", "text", window=window).collect()[0]
+    assert row["n_windows"] == len(expected)
+    assert row["min_rk"] == min(expected)
+
+
+# -- multimodal ---------------------------------------------------------
+
+
+def test_multimodal_decode_roundtrip(spark, docs):
+    mm = multimodal.attach_payload(docs.limit(50), "doc_id", "text")
+    decoded = multimodal.decode(mm).collect()
+    assert len(decoded) == 50
+    for r in decoded:
+        assert r["modality"] in multimodal.MODALITIES
+        if r["modality"] == "image":
+            assert r["n_frames"] == 1 and r["width"] >= 64
+        if r["modality"] == "audio":
+            assert r["width"] == 0
+        assert len(r["feature"]) == 8
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    mm = multimodal.attach_payload(docs.limit(20), "doc_id", "text")
+    a = sorted(map(str, multimodal.decode(mm).collect()))
+    b = sorted(map(str, multimodal.decode(mm).collect()))
+    assert a == b
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"bytes", "image")
+
+
+def test_frame_sample(spark, docs):
+    mm = multimodal.attach_payload(docs.limit(60), "doc_id", "text")
+    decoded = multimodal.decode(mm)
+    frames = multimodal.frame_sample(decoded, every_n=8).collect()
+    assert frames, "some docs must be videos"
+    for r in frames[:10]:
+        assert 0 <= r["frame_idx"] < r["n_frames"]
