@@ -1,0 +1,150 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming of any kind (SURVEY §2.9) — this module
+is the Spark-native extension: the streaming twins of the batch event
+rollups, built so that `availableNow` runs produce byte-identical
+results to the batch queries (tested in ``tests/test_streaming.py``).
+
+Scale design:
+- event-time windows + watermarks bound state: an hourly rollup with a
+  1-hour watermark holds ~2 windows of partial aggregates per key, no
+  matter how many days stream through.
+- streaming dedup keys the state store by event_id and expires it at
+  the watermark — unbounded-state dedup is the classic 100 TB mistake.
+- the custom stateful operator (per-user running counters) uses
+  ``applyInPandasWithState`` with an idle-timeout, the pattern for
+  operators Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (driver parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-source stream over events parquet files (new files appear →
+    new micro-batches; at scale this is the landing-zone pattern)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of workload ``events_hourly_rollup``: tumbling
+    1-hour windows with late-data tolerance = ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rollup(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows — each event contributes to window/slide panes."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (native session_window keeps state bounded by watermark)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon — state
+    expires with the watermark instead of growing forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def _user_counter(key, pdfs, state: GroupState):
+    """applyInPandasWithState kernel: running per-user event count +
+    value sum, state dropped after 30 min idle (processing time)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    import pandas as pd
+
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(30 * 60 * 1000)
+    yield pd.DataFrame([{"user_id": key[0], "n_events": n, "total_value": round(total, 2)}])
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    escape hatch for semantics Spark lacks natively (SURVEY beyond-
+    reference scope)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_counter,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "complete") -> DataFrame:
+    """Drain the stream with availableNow into a memory sink and return
+    the result table (testing/backfill pattern)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
