@@ -17,6 +17,27 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 4294967311
 
 
+def parallelize_input(df, max_partitions: int | None = None):
+    """Spread a DataFrame across the cluster's cores before heavy
+    per-row expression work. Small parquet inputs arrive as ONE split
+    (a 2 MB file = 1 partition = 1 core doing all the shingling);
+    operators must not inherit that. The repartition shuffles only the
+    raw rows — cheap relative to the per-row work it parallelizes. No-op
+    when the input already has enough partitions.
+
+    ``max_partitions`` caps the spread for Python-worker stages
+    (mapInPandas): each partition spawns a worker process, and 32 cold
+    workers for a few thousand rows costs more than the work itself.
+    At real scale inputs arrive with many partitions and this is a
+    no-op either way."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if max_partitions is not None:
+        target = min(target, max_partitions)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def hash64(col: Column | str) -> Column:
     """60-bit deterministic hash of a string column (md5 prefix)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -36,6 +36,7 @@ from deep_query_optimization_spark.functions import (
     MINHASH_PRIME,
     cosine_similarity,
     hash32,
+    parallelize_input,
     word_shingles,
 )
 
@@ -59,7 +60,8 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle_hash) exploded rows; distinct per doc."""
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s"))
+        parallelize_input(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s"))
         .filter(F.col("s") != "")
         .select("id", hash32(F.col("s")).alias("hv"))
         .distinct()
@@ -72,8 +74,11 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ t).
 
     inter/(|A|+|B|-inter) computed from co-shingle counts; the join is
-    on shingle hash so equal shingles collide exactly in any engine."""
-    sh = shingle_hashes(df, id_col, text_col, n)
+    on shingle hash so equal shingles collide exactly in any engine.
+    The (id, hash) table feeds three consumers (both join sides + the
+    size table) — persist it instead of recomputing the explode 3x; at
+    scale this is the materialized shingle index."""
+    sh = shingle_hashes(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,13 +127,22 @@ def minhash_lsh_candidates(
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n, seed)
-    band_frames = []
-    for bi in range(bands):
-        key = F.concat_ws("-", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)])
-        band_frames.append(sig.select(F.col("id"), F.lit(bi).alias("band"), key.alias("key")))
-    all_bands = band_frames[0]
-    for fr in band_frames[1:]:
-        all_bands = all_bands.unionAll(fr)
+    # bands as ONE explode projection (a union of per-band selects would
+    # recompute the signature pipeline once per band), and persist: the
+    # self-join reads the band table twice. At scale this is the
+    # materialized LSH index table.
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("-", *[F.col(f"m{bi * r + j}").cast("string") for j in range(r)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    all_bands = (
+        sig.select(F.col("id"), F.explode(F.array(*band_structs)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (
@@ -147,10 +161,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """Per-doc ``bits``-bit SimHash: bit j is the sign of the sum of
     votes (±1) of token-hash bit j over all tokens (with multiplicity).
     One explode + one groupBy with ``bits`` conditional sums."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = (
+        parallelize_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
     hv = hash32(F.col("tok"))
     votes = [
         F.sum(F.when(F.shiftright(hv, j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{j}")
@@ -176,7 +194,7 @@ def embedding_near_dup(
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     if probe_filter is not None:
         a = a.filter(probe_filter)
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = parallelize_input(df).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -108,7 +108,9 @@ def decode(df: DataFrame, decoder=decode_stub) -> DataFrame:
     """Arrow-batched decode of a multimodal table. Metadata-only
     predicates pushed by the caller BEFORE this call never pay decode
     cost — keep this the last stage of the plan."""
-    return df.mapInPandas(lambda it: decode_batch(it, decoder), schema=DECODED_SCHEMA)
+    from deep_query_optimization_spark.functions import parallelize_input
+
+    return parallelize_input(df, max_partitions=8).mapInPandas(lambda it: decode_batch(it, decoder), schema=DECODED_SCHEMA)
 
 
 def frame_sample(decoded: DataFrame, every_n: int = 8) -> DataFrame:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deep_query_optimization_spark.functions import cosine_similarity
+from deep_query_optimization_spark.functions import cosine_similarity, parallelize_input
 
 
 def cosine_topk(
@@ -40,7 +40,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each probe (excluding self), ranked by
     cosine desc with id tie-break — fully deterministic."""
-    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vc"))
+    c = parallelize_input(corpus).select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vc"))
     p = F.broadcast(probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp")))
     cos = cosine_similarity(F.col("vp"), F.col("vc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
@@ -87,7 +87,7 @@ def hyperplane_lsh_topk(
     """Approximate top-k: probes score only corpus vectors in the same
     hyperplane bucket. ~2^-n_planes of the corpus per probe."""
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = parallelize_input(corpus).select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("vc"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
