@@ -1,0 +1,137 @@
+"""DQOEngine — the facade tying the whole stack together.
+
+A user of the reference drove it as: connect to a DB → snapshot schema
++ stats → generate workloads → execute/time them → encode plans → train
+an estimator → score queries. This class is that lifecycle on Spark:
+
+    engine = DQOEngine(spark, "/data/tables")
+    engine.snapshot()                      # schema + stats (cached JSON)
+    rows = engine.generate_workload(1000)  # balanced labeled dataset
+    model = engine.train_estimator(rows)   # plan-vector cost model
+    engine.estimate("SELECT ...")          # predicted log2 runtime
+    engine.run("SELECT ...")               # timed execution
+
+Every step is also usable directly from its module; the facade is for
+parity with the reference's driver scripts (``dqo/lab/drivers/*``,
+``dqo/generate_queries.py``, ``dqo/estimator/*/train_tpch.py``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from deep_query_optimization_spark.catalog import TPCH_TABLES, Database, load_tables
+from deep_query_optimization_spark.estimator import MLPCostModel, QueriesDataset
+from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics
+from deep_query_optimization_spark.generator.guided import BalancedQueryGen
+from deep_query_optimization_spark.generator.partitioner import Log2Partitioner
+from deep_query_optimization_spark.lab.executor import QueryLog, SparkQueryRunner
+from deep_query_optimization_spark.plans import PlanEncoder
+from deep_query_optimization_spark.plans.parser import parse_plan_json
+from deep_query_optimization_spark.stats import collect_stats
+
+
+class DQOEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str,
+        tables: tuple[str, ...] = TPCH_TABLES,
+        snapshot_path: str | None = None,
+        log_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.data_dir = data_dir
+        self.table_names = tables
+        self.snapshot_path = snapshot_path
+        self.tables: dict[str, DataFrame] = load_tables(spark, data_dir, tables)
+        self.db: Database | None = None
+        log = QueryLog(log_path) if log_path else None
+        self.runner = SparkQueryRunner(spark, clear_cache=False, log=log)
+        self._encoder: PlanEncoder | None = None
+        self.model: MLPCostModel | None = None
+
+    # -- schema + stats (reference model(use_cache), postgres.py:321) --
+
+    def snapshot(self, use_cache: bool = True) -> Database:
+        if use_cache and self.snapshot_path and os.path.exists(self.snapshot_path):
+            self.db = Database.load(self.snapshot_path)
+            return self.db
+        self.db = Database([collect_stats(df, name) for name, df in self.tables.items()])
+        if self.snapshot_path:
+            self.db.save(self.snapshot_path)
+        return self.db
+
+    @property
+    def encoder(self) -> PlanEncoder:
+        if self._encoder is None:
+            if self.db is None:
+                self.snapshot()
+            self._encoder = PlanEncoder(self.db)
+        return self._encoder
+
+    # -- workload factory (reference lab/drivers/uniform.py) ------------
+
+    def generate_workload(
+        self, n: int, seed: int = 0, partitioner: Log2Partitioner | None = None
+    ) -> QueriesDataset:
+        if self.db is None:
+            self.snapshot()
+        bal = BalancedQueryGen(
+            self.db, self.runner.time, partitioner=partitioner or Log2Partitioner(), seed=seed
+        )
+        ds = QueriesDataset()
+        for sql, runtime in bal.generate(n):
+            ds.add(sql, runtime)
+        return ds
+
+    # -- execution -------------------------------------------------------
+
+    def run(self, sql: str) -> float:
+        return self.runner.time(sql)
+
+    def analyze(self, sql: str) -> tuple[float, str, str]:
+        return self.runner.analyze(sql)
+
+    # -- estimator (reference estimator/*/train_tpch.py) -----------------
+
+    def encode_sql(self, sql: str) -> tuple[np.ndarray, np.ndarray]:
+        df = self.spark.sql(sql)
+        plan_json = df._jdf.queryExecution().optimizedPlan().toJSON()
+        return self.encoder.encode_plan(parse_plan_json(plan_json))
+
+    def train_estimator(
+        self, ds: QueriesDataset, epochs: int = 200, lr: float = 3e-3, seed: int = 0
+    ) -> dict:
+        train, test = ds.stratified_split(0.2, seed=seed)
+        enc_train = [self.encode_sql(sql) for sql, _, _ in train.rows]
+        enc_test = [self.encode_sql(sql) for sql, _, _ in test.rows]
+        self.model = MLPCostModel(in_dim=self.encoder.width, seed=seed)
+        self.model.fit(enc_train, [r for _, r, _ in train.rows], epochs=epochs, lr=lr)
+
+        def evaluate(plans, rows):
+            if not rows:
+                return {}
+            preds = self.model.predict(plans)
+            buckets = [bucketize(r) for _, r, _ in rows]
+            pred_buckets = [int(np.clip(round(p), -3, 8)) for p in preds]
+            m = mcc_metrics(buckets, pred_buckets)
+            m["mae"] = mae(buckets, pred_buckets)
+            return m
+
+        return {"train": evaluate(enc_train, train.rows), "test": evaluate(enc_test, test.rows)}
+
+    def estimate(self, sql: str) -> float:
+        """Predicted runtime (seconds) for a query — the reference's
+        whole reason to exist, served from the live engine."""
+        if self.model is None:
+            raise RuntimeError("train_estimator first")
+        pred_log2 = self.model.predict([self.encode_sql(sql)])[0]
+        return float(2.0 ** np.clip(pred_log2, -10, 20))
+
+    def estimate_bucket(self, sql: str) -> int:
+        return int(np.clip(round(math.log2(max(self.estimate(sql), 1e-3))), -3, 8))

@@ -616,6 +616,89 @@ def q_events_hourly_rollup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (adapted to the driver schema) — the classic
+# plans every OLAP engine is judged on: selective scan-agg (Q6), join +
+# top-k (Q3, Q10), multi-dim broadcast join rollup (Q5 shape above).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_revenue",
+    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.06 AND l_quantity < 24""",
+)
+def q_tpch_q6_revenue(spark, sf_dir):
+    """TPC-H Q6: all predicates push into the scan; the plan is a
+    single scan + partial/final agg — zero shuffle of data rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dimension filter → fact joins on keys →
+    grouped revenue → top-k (TakeOrderedAndProject, no global sort)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer with a
+    broadcast nation dimension."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-pipeline operators (dedup / similarity / text / multimodal) —
 # first-class components beyond the reference (BASELINE.json north star).
 # Implementations in operators/*; DuckDB oracles generated from the same
