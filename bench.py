@@ -34,8 +34,13 @@ def main() -> None:
     spark = get_spark("dqo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JIT + codegen + parquet footer caches
+    # warm-up: JIT + codegen + parquet footer caches + Python workers
+    # (the first mapInPandas otherwise pays worker-spawn inside a
+    # measured query)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name, wq in REGISTRY.items():

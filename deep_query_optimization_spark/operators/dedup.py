@@ -79,6 +79,8 @@ def jaccard_pairs(
     size table) — persist it instead of recomputing the explode 3x; at
     scale this is the materialized shingle index."""
     sh = shingle_hashes(df, id_col, text_col, n).persist()
+    sh.count()  # materialize the shingle index ONCE; the three consumers
+    # below would otherwise race to populate the cache inside one job
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,6 +145,7 @@ def minhash_lsh_candidates(
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .persist()
     )
+    all_bands.count()  # materialize the LSH index before the self-join
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     return (

@@ -843,6 +843,46 @@ def _register_generated() -> None:
 _register_generated()
 
 
+@register(
+    "rollup_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+       FROM lineitem WHERE l_partkey < 500
+       GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def q_rollup_grouping_sets(spark, sf_dir):
+    """ROLLUP extension (§2.9: grouping sets absent from the
+    reference). NULL grouping keys are coalesced so the hash compare is
+    null-free."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "or_multi_flatten",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_quantity < 3 OR l_quantity > 48 OR l_returnflag = 'N' AND l_tax > 0.07""",
+)
+def q_or_multi_flatten(spark, sf_dir):
+    """Nested OR/AND precedence (reference OrNode.flatten_selections,
+    ``node.py:274``; AND binds tighter than OR, ``ast.py:257-293``)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 3)
+        | (F.col("l_quantity") > 48)
+        | ((F.col("l_returnflag") == "N") & (F.col("l_tax") > 0.07))
+    ).select("l_orderkey", "l_linenumber")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wq.fn for name, wq in REGISTRY.items()}
 
