@@ -178,9 +178,15 @@ def physical_summary(physical_plan: str) -> dict:
     if "== Final Plan ==" in physical_plan:
         physical_plan = physical_plan.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
     counts = {op: len(re.findall(rf"\b{op}\b", physical_plan)) for op in _PHYSICAL_OPS}
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan)
+    # codegen spans print as '*(n)' prefixes in executedPlan text (the
+    # literal word only appears in formatted explain) — count distinct ids
+    codegen_ids = set(re.findall(r"\*\((\d+)\)", physical_plan))
+    counts["WholeStageCodegen"] = max(counts.get("WholeStageCodegen", 0), len(codegen_ids))
+    # filter lists may be truncated by Spark ('Great...') — accept a
+    # missing closing bracket
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", physical_plan)
     read_schema = re.findall(r"ReadSchema: ([^\n]*)", physical_plan)
-    partition_filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", physical_plan)
+    partition_filters = re.findall(r"PartitionFilters: \[([^\]\n]*)", physical_plan)
     return {
         "counts": {k: v for k, v in counts.items() if v},
         "pushed_filters": [p for p in pushed if p.strip()],
