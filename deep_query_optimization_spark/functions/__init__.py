@@ -70,6 +70,25 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def salted_join(left, right, key: str, n_salts: int = 16, how: str = "inner"):
+    """Skew-mitigated equi-join: the skewed (left) side gets a random
+    salt in [0, n_salts); the small/replicated (right) side is exploded
+    across all salts. The shuffle key becomes (key, salt), splitting a
+    hot key's rows over ``n_salts`` reducers.
+
+    AQE's skew-join handling (on by default in ``session.get_spark``)
+    covers most cases by splitting oversized partitions at runtime;
+    salting is the manual fallback when a SINGLE key exceeds one
+    executor (the classic null-key / celebrity-user case at 100 TB).
+    The salt is a pure hash of the whole left row id via
+    monotonically-increasing id — deterministic within a run."""
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt_l)
+    rhs = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = lhs.join(rhs, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine between two float-array columns, computed JVM-side with
     ``zip_with``/``aggregate`` — no UDF. Elements are upcast to double

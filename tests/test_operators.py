@@ -211,3 +211,22 @@ def test_frame_sample(spark, docs):
     assert frames, "some docs must be videos"
     for r in frames[:10]:
         assert 0 <= r["frame_idx"] < r["n_frames"]
+
+
+# -- skew salting --------------------------------------------------------
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    from pyspark.sql import functions as F
+
+    from deep_query_optimization_spark.functions import salted_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed("l_orderkey", "k")
+    o = tables["orders"].select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "k")
+    plain = li.join(o, "k").agg(F.count(F.lit(1)), F.round(F.sum("l_quantity"), 2)).collect()[0]
+    salted = salted_join(li, o, "k", n_salts=8).agg(
+        F.count(F.lit(1)), F.round(F.sum("l_quantity"), 2)
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
+    # salt column must not leak into the result schema
+    assert "__salt" not in salted_join(li, o, "k").columns
