@@ -159,6 +159,32 @@ class MLPCostModel:
         return m
 
 
+class LinearCostModel:
+    """Closed-form least-squares baseline over coarse plan-shape
+    features (n_nodes, per-type node counts, mean feature vector) —
+    the sanity baseline the learned models must beat (the reference
+    benchmarked against MSCN/Neo reimplementations; this is the
+    engine-agnostic floor)."""
+
+    def __init__(self) -> None:
+        self.w: np.ndarray | None = None
+
+    @staticmethod
+    def _features(ids: np.ndarray, mat: np.ndarray) -> np.ndarray:
+        counts = np.bincount(ids, minlength=len(NODE_TYPES)).astype(float) if len(ids) else np.zeros(len(NODE_TYPES))
+        pooled = mat.mean(axis=0) if len(ids) else np.zeros(mat.shape[1] if mat.ndim == 2 else 0)
+        return np.concatenate([[1.0, float(len(ids))], counts, pooled])
+
+    def fit(self, plans, runtimes) -> None:
+        X = np.stack([self._features(i, m) for i, m in plans])
+        y = np.array([math.log2(max(t, 1e-3)) for t in runtimes])
+        self.w, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    def predict(self, plans) -> np.ndarray:
+        X = np.stack([self._features(i, m) for i, m in plans])
+        return X @ self.w
+
+
 def torch_available() -> bool:
     try:
         import torch  # noqa: F401

@@ -11,6 +11,16 @@ Our set-based ``Query.to_sql`` is canonical, so variants are produced
 by a non-canonical emitter: permuted FROM order, permuted predicate
 order, flipped join/comparison operands. Result sets are identical by
 construction (commutativity of ∧ and of inner joins).
+
+NOTE on training value: the reference's encoders featurize the
+*as-parsed* logical tree, which is order-sensitive, so augmentation
+yields genuinely different training vectors for the same label (its
+best results were aug-trained, BASELINE.md). Our ``plans.encoder``
+featurizes the Catalyst-*optimized* plan, which canonicalizes away
+emission order — augmented variants encode identically. Augmentation
+here therefore serves (a) SQL-text-level consumers (parser fuzzing,
+cache testing) and (b) any future encoder over the analyzed-but-
+unoptimized plan; it does NOT inflate plan-space training data.
 """
 
 from __future__ import annotations

@@ -149,3 +149,42 @@ def test_reference_pipeline_end_to_end(spark, tables):
     pred_buckets = [int(np.clip(round(p), -3, 8)) for p in preds]
     m = mcc_metrics(ds.buckets(), pred_buckets)
     assert 0.0 <= m["accuracy"] <= 1.0  # harness runs end-to-end
+
+
+def test_evaluate_report_and_artifacts(tmp_path):
+    from deep_query_optimization_spark.estimator.evaluate import (
+        compare_reports,
+        confusion_text,
+        evaluation_report,
+        save_results,
+    )
+
+    y_true = [-3, -3, -2, -2, 0, 0, 1]
+    y_pred = [-3, -2, -2, -2, 0, 1, 1]
+    rep = evaluation_report(y_true, y_pred)
+    assert 0 < rep["metrics"]["accuracy"] < 1
+    assert rep["binary_split"]["accuracy"] >= rep["metrics"]["accuracy"]
+    txt = confusion_text(y_true, y_pred)
+    assert "true\\pred" in txt and "-3" in txt
+    p = save_results(str(tmp_path), epoch=7, y_true=y_true, y_pred=y_pred)
+    assert p.name.startswith("val_results_7_acc_0.7") and p.suffix == ".json"
+    table = compare_reports({"mlp": rep, "baseline": rep})
+    assert "mlp" in table and "acc" in table
+
+
+def test_linear_baseline_learns_join_count():
+    from deep_query_optimization_spark.estimator.model import LinearCostModel
+
+    rng = np.random.default_rng(1)
+    plans, runtimes = [], []
+    for _ in range(80):
+        n_joins = int(rng.integers(0, 5))
+        ids = np.array([2] * n_joins + [0], dtype=np.int64)
+        mat = rng.normal(0, 0.05, (len(ids), 10))
+        plans.append((ids, mat))
+        runtimes.append(float(2.0**n_joins * 0.25))
+    m = LinearCostModel()
+    m.fit(plans, runtimes)
+    preds = m.predict(plans)
+    targets = np.array([math.log2(t) for t in runtimes])
+    assert np.corrcoef(preds, targets)[0, 1] > 0.95  # exact linear signal
