@@ -107,6 +107,8 @@ class QueryBuilder:
         return ColumnRef(rel, c.name, c.data_type)
 
     def add_projection(self, func: str | None = "MIN") -> bool:
+        if not self.query.relations:
+            return False
         rel = self.rng.choice(sorted(self.query.relations))
         types = None if func in (None, "COUNT", "MIN", "MAX") else (DataType.NUMBER, DataType.FLOAT)
         col = self._random_column(rel, types)
@@ -124,6 +126,8 @@ class QueryBuilder:
         return True
 
     def add_condition(self) -> bool:
+        if not self.query.relations:
+            return False
         rel = self.rng.choice(sorted(self.query.relations))
         col = self._random_column(rel)
         if col is None:

@@ -815,6 +815,10 @@ def q_multimodal_decode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 GENERATED_SEEDS = (2, 5, 7, 17, 22, 38)
+# second batch: wider joins (up to 4 tables, 10 conditions); seeds
+# pre-screened to avoid events.ts literal comparisons (ns-vs-µs
+# sub-second precision differs between engines)
+GENERATED_SEEDS_WIDE = (103, 104, 116, 128, 145)
 
 
 def _register_generated() -> None:
@@ -826,8 +830,11 @@ def _register_generated() -> None:
     snap = Path(__file__).resolve().parent / "snapshots" / "sf0.01_schema.json"
     db = Database.load(str(snap))
     proj_types = (DataType.NUMBER, DataType.FLOAT, DataType.STRING)
-    for seed in GENERATED_SEEDS:
-        gen = RandomQueryGen(db, seed=seed, max_tables=3, max_conditions=6, projection_types=proj_types)
+    configs = [(seed, 3, 6) for seed in GENERATED_SEEDS] + [(seed, 4, 10) for seed in GENERATED_SEEDS_WIDE]
+    for seed, max_tables, max_conditions in configs:
+        gen = RandomQueryGen(
+            db, seed=seed, max_tables=max_tables, max_conditions=max_conditions, projection_types=proj_types
+        )
         sql = gen.randomize().to_sql()
 
         def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:

@@ -99,3 +99,34 @@ def test_read_any_csv_json(spark, tmp_path):
     assert read_any(spark, str(tmp_path / "j"), fmt="json").count() == 10
     with pytest.raises(ValueError):
         read_any(spark, "x.avro")
+
+
+def test_bucketed_join_avoids_shuffle(spark, tables):
+    """Both sides bucketed on the join key by the same count → the
+    SortMergeJoin reads bucket files pair-wise with NO Exchange —
+    the layout that makes repeated fact-fact joins affordable at scale."""
+    from pyspark.sql import functions as F
+
+    from deep_query_optimization_spark.plans.parser import physical_summary_of
+    from deep_query_optimization_spark.sources import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    write_bucketed(tables["lineitem"].select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    write_bucketed(tables["orders"].select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    li = spark.table("b_lineitem")
+    o = spark.table("b_orders")
+    # disable broadcast so the join must choose SMJ/shuffle strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        j.collect()
+        s = physical_summary_of(j)
+        assert s["counts"].get("SortMergeJoin", 0) == 1
+        assert s["counts"].get("Exchange", 0) == 0, f"bucketed join must not shuffle: {s['counts']}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -230,3 +230,14 @@ def test_merge_preserves_non_numeric():
     assert not contra
     assert like in merged
     assert len(merged) == 2
+
+
+def test_builder_empty_query_mutations_safe(db):
+    from deep_query_optimization_spark.relational.query import Query
+
+    qb = QueryBuilder(db, query=Query(), rng=random.Random(0))
+    assert not qb.add_projection()
+    assert not qb.add_condition()
+    assert not qb.remove_relation()
+    assert qb.add_relation()  # first relation needs no join
+    assert qb.query.relations
