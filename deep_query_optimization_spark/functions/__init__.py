@@ -100,6 +100,28 @@ def cosine_similarity(a: Column, b: Column) -> Column:
         return x.cast("double")
 
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: dbl(x) * dbl(y)), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda acc, v: acc + v))
+    na = vector_norm(a)
+    nb = vector_norm(b)
     return dot / (na * nb)
+
+
+def vector_norm(v: Column) -> Column:
+    """L2 norm of a float-array column (double-upcast, left fold)."""
+
+    def dbl(x):
+        return x.cast("double")
+
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda acc, v_: acc + v_))
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine given precomputed norms — per-PAIR work drops to one dot
+    product; norms are computed once per ROW. Identical arithmetic to
+    ``cosine_similarity`` (same fold, same upcast), so oracle results
+    are unchanged."""
+
+    def dbl(x):
+        return x.cast("double")
+
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: dbl(x) * dbl(y)), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (norm_a * norm_b)

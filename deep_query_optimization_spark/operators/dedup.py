@@ -194,11 +194,15 @@ def embedding_near_dup(
     """Cosine-threshold near-duplicate pairs. ``probe_filter`` bounds
     the left side (correctness verifier); unbounded all-pairs at scale
     must go through LSH bucketing first (similarity.py)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    from deep_query_optimization_spark.functions import cosine_from_norms, vector_norm
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), vector_norm(F.col(vec_col)).alias("na"))
     if probe_filter is not None:
         a = a.filter(probe_filter)
-    b = parallelize_input(df).select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    b = parallelize_input(df).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), vector_norm(F.col(vec_col)).alias("nb")
+    )
+    cos = cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 4).alias("cos"))

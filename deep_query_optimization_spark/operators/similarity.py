@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deep_query_optimization_spark.functions import cosine_similarity, parallelize_input
+from deep_query_optimization_spark.functions import (
+    cosine_from_norms,
+    cosine_similarity,
+    parallelize_input,
+    vector_norm,
+)
 
 
 def cosine_topk(
@@ -40,9 +45,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each probe (excluding self), ranked by
     cosine desc with id tie-break — fully deterministic."""
-    c = parallelize_input(corpus).select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vc"))
-    p = F.broadcast(probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp")))
-    cos = cosine_similarity(F.col("vp"), F.col("vc"))
+    c = parallelize_input(corpus).select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("vc"), vector_norm(F.col(vec_col)).alias("nc")
+    )
+    p = F.broadcast(
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp"), vector_norm(F.col(vec_col)).alias("np"))
+    )
+    cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
     return (
         c.join(p, F.col("probe_id") != F.col("nn_id"))
@@ -90,16 +99,18 @@ def hyperplane_lsh_topk(
     c = parallelize_input(corpus).select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("vc"),
+        vector_norm(F.col(vec_col)).alias("nc"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     p = F.broadcast(
         probes.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("vp"),
+            vector_norm(F.col(vec_col)).alias("np"),
             lsh_signature(F.col(vec_col), planes).alias("bucket"),
         )
     )
-    cos = cosine_similarity(F.col("vp"), F.col("vc"))
+    cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
     return (
         c.join(p, ["bucket"])
