@@ -851,6 +851,60 @@ _register_generated()
 
 
 @register(
+    "validate_constraints",
+    """SELECT check_name, violations, total FROM (
+         SELECT 'orders_pk_unique' AS check_name,
+                CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS BIGINT) AS violations,
+                CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total
+         UNION ALL
+         SELECT 'lineitem_fk_orders',
+                CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+         UNION ALL
+         SELECT 'documents_nchars_consistent',
+                CAST((SELECT COUNT(*) FROM documents WHERE NOT (n_chars = LENGTH(text))) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+         UNION ALL
+         SELECT 'lineitem_discount_range',
+                CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount <= 1)) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+       ) v""",
+)
+def q_validate_constraints(spark, sf_dir):
+    """Data-validation suite over the driver tables: PK uniqueness,
+    FK integrity, stored-vs-computed consistency, range checks
+    (operators/validate.py) — the ingest gate of a training pipeline."""
+    from deep_query_optimization_spark.operators import validate as V
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    docs = t(spark, sf_dir, "documents")
+
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("violations"),
+            F.sum("cnt").cast("long").alias("total"),
+        )
+        .select(F.lit("orders_pk_unique").alias("check_name"), "violations", "total")
+    )
+    orphans = V.referential_integrity(li, "l_orderkey", orders, "o_orderkey")
+    fk = (
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .crossJoin(li.agg(F.count(F.lit(1)).cast("long").alias("total")))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "violations", "total")
+    )
+    nchars = V.violation_count(docs, F.col("n_chars") == F.length("text"), "documents_nchars_consistent").select(
+        F.col("check").alias("check_name"), "violations", F.col("total").cast("long")
+    )
+    rng = V.violation_count(
+        li, F.col("l_discount").between(0, 1), "lineitem_discount_range"
+    ).select(F.col("check").alias("check_name"), "violations", F.col("total").cast("long"))
+    return V.validate_table([uniq, fk, nchars, rng])
+
+
+@register(
     "rollup_grouping_sets",
     """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
               CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -230,3 +230,32 @@ def test_salted_join_matches_plain_join(spark, tables):
     assert tuple(plain) == tuple(salted)
     # salt column must not leak into the result schema
     assert "__salt" not in salted_join(li, o, "k").columns
+
+
+# -- data validation -----------------------------------------------------
+
+
+def test_validation_operators(spark, tables):
+    from deep_query_optimization_spark.operators import validate as V
+
+    # uniqueness on a key with planted dups
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"])
+    r = V.uniqueness(df, ["k"]).collect()[0]
+    assert (r["n_keys"], r["n_dup_keys"], r["n_dup_rows"]) == (3, 1, 2)
+
+    # referential integrity: lineitem FKs all resolve in orders
+    orphans = V.referential_integrity(tables["lineitem"], "l_orderkey", tables["orders"], "o_orderkey")
+    assert orphans.count() == 0
+    # planted orphan
+    child = spark.createDataFrame([(1,), (99,)], ["fk"])
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    assert V.referential_integrity(child, "fk", parent, "pk").collect()[0]["fk"] == 99
+
+    # null rates
+    nr = {r["column_name"]: r["null_rate"] for r in V.null_rates(
+        spark.createDataFrame([(1, None), (2, "x")], "a int, b string")).collect()}
+    assert nr["a"] == 0.0 and nr["b"] == 0.5
+
+    # range check
+    v = V.violation_count(tables["lineitem"], __import__("pyspark.sql.functions", fromlist=["col"]).col("l_discount").between(0, 1), "disc").collect()[0]
+    assert v["violations"] == 0 and v["total"] == tables["lineitem"].count()
