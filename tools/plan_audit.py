@@ -33,6 +33,7 @@ NON_EQUI_OK = {
     "sim_topk_lsh",  # bucket-join + in-bucket pairs
     "stats_histogram",  # scalar min/max broadcast crossJoin
     "join_self_alias",  # key-equal + '<' residual may plan as BNLJ at tiny scale
+    "validate_constraints",  # 1-row x 1-row scalar-aggregate crossJoin (FK summary)
 }
 # queries that read no base table with filterable columns
 NO_PUSHDOWN_EXPECTED = {
