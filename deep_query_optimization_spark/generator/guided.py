@@ -70,17 +70,25 @@ class GuidedQueryGen:
         return ()
 
     def step(self) -> tuple[Query, float, bool]:
-        """One mutate-and-measure step (reference ``guided.py:170-177``).
-        Returns (query, runtime, hit_target)."""
+        """One measure-then-mutate step (reference ``guided.py:170-177``).
+        Returns (executed_query, its_runtime, hit_target).
+
+        The returned query is a copy captured BEFORE the mutation: the
+        runtime belongs to the query that actually ran, and callers
+        (``BalancedQueryGen.generate``) record the pair as a training
+        row — returning the post-mutation query would mislabel nearly
+        every row (the reference fires its histogram callback inside
+        ``run_query`` with the executed query, ``guided.py:94-109``)."""
         self.steps += 1
+        executed = self.builder.query.copy()
         runtime = self.run_query()
         moves = self._policy(runtime)
         if not moves:
-            return self.builder.query, runtime, True
+            return executed, runtime, True
         for name in self.rng.sample(moves, len(moves)):
             if self.builder.mutate(name):
                 break
-        return self.builder.query, runtime, False
+        return executed, runtime, False
 
     def generate(self) -> tuple[Query, float] | None:
         self.randomize_initial()

@@ -21,9 +21,13 @@ class Log2Partitioner:
         return list(range(self.low, self.high + 1))
 
     def bucket(self, runtime_s: float) -> int:
+        """Exact inverse of ``bounds``: t ∈ (2^(b-1), 2^b] → b. A
+        ``round`` here would credit runtimes in (2^(b-1), 2^(b-0.5)) to
+        bucket b-1 while the guided target accepts them for bucket b,
+        skewing BalancedQueryGen's histogram."""
         if runtime_s <= 0:
             return self.low
-        return int(min(self.high, max(self.low, round(math.log2(runtime_s)))))
+        return int(min(self.high, max(self.low, math.ceil(math.log2(runtime_s)))))
 
     def bounds(self, bucket: int) -> tuple[float, float]:
         """(lo, hi] runtime bounds of a bucket (reference :43-52)."""

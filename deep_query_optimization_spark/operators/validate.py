@@ -56,10 +56,12 @@ def null_rates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 def violation_count(df: DataFrame, predicate: Column, name: str) -> DataFrame:
     """Rows violating a row-level constraint (predicate = the VALID
-    condition)."""
+    condition). A NULL-valued predicate (e.g. NULL operands) counts as
+    a violation — ``~predicate`` would be NULL there and the bad row
+    would silently pass the gate."""
     return df.agg(
         F.lit(name).alias("check"),
-        F.sum(F.when(~predicate, 1).otherwise(0)).cast("long").alias("violations"),
+        F.sum(F.when(predicate, 0).otherwise(1)).cast("long").alias("violations"),
         F.count(F.lit(1)).alias("total"),
     )
 

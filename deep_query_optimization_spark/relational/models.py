@@ -82,12 +82,19 @@ class Condition:
             )
         return f"{col} {self.op} {sql_literal(self.value, self.column.dtype)}"
 
-    def __hash__(self) -> int:
+    def _key(self) -> tuple:
         v = tuple(self.value) if isinstance(self.value, (list, tuple, set)) else self.value
-        return hash((self.column, self.op, v))
+        return (self.column, self.op, v)
+
+    def __hash__(self) -> int:
+        return hash(self._key())
 
     def __eq__(self, other: object) -> bool:
-        return isinstance(other, Condition) and hash(self) == hash(other)
+        # Compare the key tuple, NOT the hashes: CPython reserves hash -1,
+        # so hash(-1.0) == hash(-2.0) == -2 and hash-equality would merge
+        # distinct predicates (silently dropping one from the Query's
+        # condition set).
+        return isinstance(other, Condition) and self._key() == other._key()
 
 
 @dataclass(frozen=True, order=True)

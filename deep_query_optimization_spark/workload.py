@@ -862,11 +862,11 @@ _register_generated()
                 CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
          UNION ALL
          SELECT 'documents_nchars_consistent',
-                CAST((SELECT COUNT(*) FROM documents WHERE NOT (n_chars = LENGTH(text))) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM documents WHERE (n_chars = LENGTH(text)) IS NOT TRUE) AS BIGINT),
                 CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
          UNION ALL
          SELECT 'lineitem_discount_range',
-                CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount <= 1)) AS BIGINT),
+                CAST((SELECT COUNT(*) FROM lineitem WHERE (l_discount >= 0 AND l_discount <= 1) IS NOT TRUE) AS BIGINT),
                 CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
        ) v""",
 )

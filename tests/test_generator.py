@@ -69,9 +69,20 @@ def test_log2_partitioner():
     assert p.bucket(1.0) == 0
     assert p.bucket(0.001) == -3  # clipped
     assert p.bucket(10_000) == 8  # clipped
-    assert p.bucket(5.0) == round(math.log2(5.0))
+    assert p.bucket(5.0) == math.ceil(math.log2(5.0))
     lo, hi = p.bounds(3)
     assert (lo, hi) == (4.0, 8.0)
+
+
+def test_log2_bucket_is_inverse_of_bounds():
+    """Every runtime inside bounds(b) must be credited to bucket b —
+    round(log2 t) credited (2^(b-1), 2^(b-0.5)) to b-1, skewing the
+    BalancedQueryGen histogram vs the guided target."""
+    p = Log2Partitioner(-3, 8)
+    for b in p.buckets:
+        lo, hi = p.bounds(b)
+        for t in (lo * 1.0001, (lo + hi) / 2, lo * 1.3, hi):
+            assert p.bucket(t) == b, (b, t)
 
 
 def test_guided_gen_converges_with_fake_runner(db):
@@ -82,6 +93,28 @@ def test_guided_gen_converges_with_fake_runner(db):
     query, runtime = result
     assert 0.05 <= runtime <= 1.0
     assert query.valid()
+
+
+def test_guided_step_returns_executed_query(db):
+    """step() must pair the runtime with the query that actually ran —
+    the pre-mutation query — or every (sql, runtime) training row
+    recorded by BalancedQueryGen is mislabeled."""
+    runner = FakeRunner()
+    gen = GuidedQueryGen(db, runner, target_lo=1e-6, target_hi=1e-5, seed=11, max_steps=25)
+    gen.randomize_initial()
+    for _ in range(25):
+        query, runtime, hit = gen.step()
+        assert runner(query.to_sql()) == runtime, "runtime paired with wrong query"
+        if hit:
+            break
+
+
+def test_balanced_gen_rows_correctly_labeled(db):
+    runner = FakeRunner()
+    gen = BalancedQueryGen(db, runner, seed=3, queue_size=3, patience=10)
+    rows = gen.generate(25)
+    mislabeled = [sql for sql, rt in rows if runner(sql) != rt]
+    assert not mislabeled, f"{len(mislabeled)}/25 rows mislabeled"
 
 
 def test_guided_gen_memoizes(db):

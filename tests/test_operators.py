@@ -259,3 +259,10 @@ def test_validation_operators(spark, tables):
     # range check
     v = V.violation_count(tables["lineitem"], __import__("pyspark.sql.functions", fromlist=["col"]).col("l_discount").between(0, 1), "disc").collect()[0]
     assert v["violations"] == 0 and v["total"] == tables["lineitem"].count()
+
+    # NULL-valued predicate must register as a violation, not pass the gate
+    from pyspark.sql import functions as F
+
+    nulls = spark.createDataFrame([(1,), (None,), (3,)], "x int")
+    v = V.violation_count(nulls, F.col("x") > 0, "positive").collect()[0]
+    assert v["violations"] == 1 and v["total"] == 3

@@ -5,7 +5,7 @@ and the Query IR — the reference only had golden-case tests
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from deep_query_optimization_spark.catalog import DataType
@@ -37,6 +37,9 @@ def conjunction_holds(point: float, conds) -> bool:
 
 @given(conditions)
 @settings(max_examples=300, deadline=None)
+# Pinned regression: hash(-1.0) == hash(-2.0) == -2 in CPython; the old
+# hash-based Condition.__eq__ merged these two predicates into one.
+@example(conds=[("!=", -1.0), ("!=", -2.0)]).via("discovered failure")
 def test_merge_is_semantically_equivalent(conds):
     """For every probe point, the merged conjunction accepts exactly
     the same points as the original; a declared contradiction means NO
