@@ -42,11 +42,14 @@ def main() -> None:
 
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
+    from deep_query_optimization_spark.functions import release_caches
+
     timings: dict[str, float] = {}
     for name, wq in REGISTRY.items():
         t0 = time.time()
         run_once(wq.fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 4)
+    release_caches()  # free the dedup/LSH materialized-index caches
 
     total = round(sum(timings.values()), 4)
     print(

@@ -29,13 +29,48 @@ def parallelize_input(df, max_partitions: int | None = None):
     (mapInPandas): each partition spawns a worker process, and 32 cold
     workers for a few thousand rows costs more than the work itself.
     At real scale inputs arrive with many partitions and this is a
-    no-op either way."""
+    no-op either way.
+
+    The partition-count probe uses ``inputFiles()`` (pure metadata)
+    rather than ``df.rdd.getNumPartitions()`` — the RDD conversion
+    builds a whole extra physical plan per call. File count is the
+    right proxy for scan width: at scale files are >= split size so
+    partitions >= files; a non-file source (in-memory test data)
+    repartitions unconditionally, which is cheap at test sizes."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if max_partitions is not None:
         target = min(target, max_partitions)
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
+
+
+# Materialized-index caches, keyed per operator. Each new index for an
+# operator releases the previous one, so long-lived sessions (bench
+# loops, the driver's 59-query pass) hold at most one cached index per
+# operator instead of leaking one per call.
+_INDEX_CACHES: dict[str, object] = {}
+
+
+def cache_index(df, key: str):
+    """persist() ``df`` as the materialized index for ``key``,
+    unpersisting the previous index registered under the same key."""
+    prev = _INDEX_CACHES.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    df.persist()
+    _INDEX_CACHES[key] = df
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked index cache (end-of-run cleanup)."""
+    while _INDEX_CACHES:
+        _, df = _INDEX_CACHES.popitem()
+        df.unpersist(blocking=False)
 
 
 def hash64(col: Column | str) -> Column:

@@ -34,11 +34,22 @@ from pyspark.sql import functions as F
 
 from deep_query_optimization_spark.functions import (
     MINHASH_PRIME,
+    cache_index,
     cosine_similarity,
     hash32,
     parallelize_input,
     word_shingles,
 )
+
+# Default scale guards. Shingles shared by more than MAX_SHINGLE_DF
+# documents carry no dedup signal but drive the co-shingle join's
+# Σ df² fan-out (power-law shingle frequencies: one 3-gram in 1M docs
+# is 10^12 join rows). Band buckets larger than MAX_BAND_BUCKET are
+# degenerate (empty/boilerplate docs sharing a signature) and would be
+# a quadratic self-join; true duplicate groups that large are caught
+# by exact_duplicates first.
+MAX_SHINGLE_DF = 1000
+MAX_BAND_BUCKET = 100
 
 
 def minhash_params(k: int = 16, seed: int = 7) -> list[tuple[int, int]]:
@@ -69,7 +80,12 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ t).
 
@@ -77,8 +93,24 @@ def jaccard_pairs(
     on shingle hash so equal shingles collide exactly in any engine.
     The (id, hash) table feeds three consumers (both join sides + the
     size table) — persist it instead of recomputing the explode 3x; at
-    scale this is the materialized shingle index."""
-    sh = shingle_hashes(df, id_col, text_col, n).persist()
+    scale this is the materialized shingle index (one live per
+    operator; a new call releases the previous call's cache).
+
+    ``max_shingle_df`` drops shingles present in more than that many
+    documents BEFORE both the size and intersection counts (Jaccard
+    over the retained shingle set — consistent numerator and
+    denominator). The co-shingle join's fan-out is Σ df(shingle)²,
+    which a single stop-phrase 3-gram makes quadratic at corpus scale;
+    dropped shingles discriminate nothing. Pass None for the exact
+    unguarded computation."""
+    sh = shingle_hashes(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df_cnt"))
+        sh = (
+            sh.join(freq.filter(F.col("df_cnt") <= max_shingle_df), "hv")
+            .select("id", "hv")
+        )
+    sh = cache_index(sh, "jaccard_shingles")
     sh.count()  # materialize the shingle index ONCE; the three consumers
     # below would otherwise race to populate the cache inside one job
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -123,16 +155,24 @@ def minhash_lsh_candidates(
     bands: int = 4,
     n: int = 3,
     seed: int = 7,
+    max_bucket_size: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate duplicate pairs via banded minhash (b bands × r=k/b
-    rows). Pairs agreeing on ANY band are emitted (distinct)."""
+    rows). Pairs agreeing on ANY band are emitted (distinct).
+
+    ``max_bucket_size`` excludes band buckets holding more than that
+    many docs from the candidate join: one degenerate hot key (near-
+    empty or boilerplate docs sharing a signature) is a size² blowup
+    at corpus scale, and a genuine duplicate group that large is
+    already collapsed by ``exact_duplicates``. Pass None to disable."""
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n, seed)
     # bands as ONE explode projection (a union of per-band selects would
     # recompute the signature pipeline once per band), and persist: the
-    # self-join reads the band table twice. At scale this is the
-    # materialized LSH index table.
+    # self-join reads the band table twice (plus the bucket-size scan).
+    # At scale this is the materialized LSH index table (one live per
+    # operator; a new call releases the previous call's cache).
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -140,14 +180,21 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    all_bands = (
+    all_bands = cache_index(
         sig.select(F.col("id"), F.explode(F.array(*band_structs)).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .persist()
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")),
+        "minhash_bands",
     )
     all_bands.count()  # materialize the LSH index before the self-join
-    a = all_bands.alias("a")
-    b = all_bands.alias("b")
+    if max_bucket_size is not None:
+        sizes = all_bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+        joinable = all_bands.join(
+            sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "key"]
+        ).select("id", "band", "key")
+    else:
+        joinable = all_bands
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     return (
         a.join(
             b,

@@ -39,13 +39,25 @@ def dedup_exact() -> str:
     )
 
 
-def dedup_ngram_jaccard(n: int = 3, threshold: float = 0.5) -> str:
+def dedup_ngram_jaccard(n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None) -> str:
+    """Mirrors ``dedup.jaccard_pairs`` including its document-frequency
+    guard: shingles with df > ``max_shingle_df`` are dropped before BOTH
+    the size and intersection counts (pass the operator's value, or None
+    when the operator runs unguarded)."""
+    if max_shingle_df is None:
+        shf = "shf AS (SELECT * FROM sh)"
+    else:
+        shf = (
+            "freq AS (SELECT hv, COUNT(*) AS df_cnt FROM sh GROUP BY 1),\n"
+            f"shf AS (SELECT sh.doc_id, sh.hv FROM sh JOIN freq USING (hv) WHERE df_cnt <= {max_shingle_df})"
+        )
     return f"""
 WITH {_shingles(n)},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+{shf},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.hv = b.hv AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.hv = b.hv AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
@@ -54,7 +66,13 @@ WHERE jaccard >= {threshold}
 """.strip()
 
 
-def dedup_minhash_lsh(k: int = 16, bands: int = 4, n: int = 3, seed: int = 7) -> str:
+def dedup_minhash_lsh(
+    k: int = 16, bands: int = 4, n: int = 3, seed: int = 7, max_bucket_size: int | None = None
+) -> str:
+    """Mirrors ``dedup.minhash_lsh_candidates`` including its band-bucket
+    size guard (buckets with > ``max_bucket_size`` docs are excluded from
+    the candidate join; pass the operator's value, or None when the
+    operator runs unguarded)."""
     r = k // bands
     params = minhash_params(k, seed)
     mins = ",\n  ".join(
@@ -65,12 +83,21 @@ def dedup_minhash_lsh(k: int = 16, bands: int = 4, n: int = 3, seed: int = 7) ->
         key = " || '-' || ".join(f"m{bi * r + j}::VARCHAR" for j in range(r))
         band_selects.append(f"SELECT doc_id, {bi} AS band, {key} AS key FROM sig")
     bands_sql = "\nUNION ALL\n".join(band_selects)
+    if max_bucket_size is None:
+        joinable = "joinable AS (SELECT * FROM bands)"
+    else:
+        joinable = (
+            "bsizes AS (SELECT band, key, COUNT(*) AS bsz FROM bands GROUP BY 1, 2),\n"
+            "joinable AS (SELECT bands.* FROM bands JOIN bsizes USING (band, key) "
+            f"WHERE bsz <= {max_bucket_size})"
+        )
     return f"""
 WITH {_shingles(n)},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({bands_sql})
+bands AS ({bands_sql}),
+{joinable}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+FROM joinable a JOIN joinable b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """.strip()
 
 

@@ -715,21 +715,28 @@ def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@register("dedup_ngram_jaccard", _orc.dedup_ngram_jaccard())
+@register("dedup_ngram_jaccard", _orc.dedup_ngram_jaccard(max_shingle_df=1000))
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs ≥ 0.5 (the verifier tier; the
-    sf0.01 corpus has 25 planted near-dup pairs)."""
+    sf0.01 corpus has 25 planted near-dup pairs). The gate runs with
+    the shingle df-cap ON, and the oracle mirrors the cap — the scale
+    guard itself is oracle-checked."""
     from deep_query_optimization_spark.operators.dedup import jaccard_pairs
 
-    return jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+    return jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5, max_shingle_df=1000
+    )
 
 
-@register("dedup_minhash_lsh", _orc.dedup_minhash_lsh())
+@register("dedup_minhash_lsh", _orc.dedup_minhash_lsh(max_bucket_size=100))
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Banded-minhash candidate pairs (k=16, 4 bands) — the scale tier."""
+    """Banded-minhash candidate pairs (k=16, 4 bands) — the scale tier.
+    Runs with the band-bucket size cap ON; the oracle mirrors the cap."""
     from deep_query_optimization_spark.operators.dedup import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(t(spark, sf_dir, "documents"), "doc_id", "text", k=16, bands=4)
+    return minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=16, bands=4, max_bucket_size=100
+    )
 
 
 @register("dedup_simhash", _orc.dedup_simhash())

@@ -59,6 +59,69 @@ def test_jaccard_pairs_symmetric_threshold(spark):
     assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (0, 1, 1.0)
 
 
+def test_jaccard_shingle_df_cap_bounds_fanout(spark):
+    """Planted hot shingle: every doc shares one stop-phrase 3-gram.
+    Uncapped, the co-shingle join fans out quadratically (n·(n-1)/2
+    pairs from that one shingle); with the df-cap the hot shingle is
+    dropped and only the genuinely-similar pair survives."""
+    n = 60
+    rows = [(i, f"the quick fox u{i} v{i} w{i} x{i}") for i in range(n)]
+    rows.append((n, f"the quick fox u0 v0 w0 x0"))  # true near-dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(0, n)}, got
+
+    # uncapped: the hot shingle alone creates a pair row for every doc pair
+    uncapped = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=None)
+    assert uncapped.count() == (n + 1) * n // 2
+
+
+def test_jaccard_cap_noop_on_clean_corpus(docs):
+    """On the driver corpus (no shingle anywhere near df=1000) the
+    capped gate result is identical to the exact computation."""
+    exact = {tuple(r) for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=None).collect()}
+    capped = {tuple(r) for r in dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=1000).collect()}
+    assert exact == capped and exact
+
+
+def test_minhash_band_bucket_cap_bounds_fanout(spark):
+    """Planted degenerate bucket: many identical boilerplate docs share
+    every band key. Capped, they produce no candidate pairs (exact-dedup
+    territory); the distinct near-dup pair elsewhere still surfaces."""
+    n = 80
+    rows = [(i, "lorem ipsum dolor sit amet boilerplate notice") for i in range(n)]
+    # identical pair → identical signatures → guaranteed candidate
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.minhash_lsh_candidates(df, "doc_id", "text", k=16, bands=4, max_bucket_size=20)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), "boilerplate bucket leaked into candidates"
+
+    uncapped = dedup.minhash_lsh_candidates(df, "doc_id", "text", k=16, bands=4, max_bucket_size=None)
+    assert uncapped.count() >= n * (n - 1) // 2  # the quadratic blowup the cap prevents
+
+
+def test_index_caches_released(spark, docs):
+    """Each dedup call releases the previous call's materialized index;
+    release_caches() frees the rest — no cached-block leak across a
+    long-lived session (bench loops, the driver's 59-query pass)."""
+    from deep_query_optimization_spark import functions as fx
+
+    dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
+    dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
+    assert len(fx._INDEX_CACHES) == 2  # one live index per operator, not per call
+    fx.release_caches()
+    assert not fx._INDEX_CACHES
+    jvm_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert jvm_cached == 0, f"{jvm_cached} cached RDDs leaked"
+
+
 def test_minhash_lsh_recall_on_driver_docs(docs):
     """k=16, b=4 banding has s-curve threshold (1/b)^(1/r) ≈ 0.71:
     pairs at jaccard j are caught with prob 1-(1-j^4)^4 (≈0.95 at
