@@ -89,6 +89,18 @@ class DQOEngine:
             ds.add(sql, runtime)
         return ds
 
+    # -- SQL ingestion (reference SQLParser.to_query,
+    #    relational/__init__.py:33-34) --------------------------------
+
+    def parse(self, sql: str):
+        """Lift existing SQL text into the mutable Query IR (via the
+        analyzed-plan walker) for guided mutation / augmentation."""
+        from deep_query_optimization_spark.relational.parser import parse_sql
+
+        if self.db is None:
+            self.snapshot()
+        return parse_sql(self.spark, sql, self.db)
+
     # -- execution -------------------------------------------------------
 
     def run(self, sql: str) -> float:

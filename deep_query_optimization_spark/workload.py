@@ -857,6 +857,46 @@ def _register_generated() -> None:
 _register_generated()
 
 
+# seed SQL lifted into the Query IR and mutated — the loop the reference
+# closes with its PLY parser (SQLParser.to_query, relational/__init__.py:33)
+_PARSE_SEED_SQL = (
+    "SELECT t1.o_orderkey AS orders_0_o_orderkey, t2.c_name AS customer_0_c_name "
+    "FROM orders t1, customer t2 WHERE t1.o_custkey = t2.c_custkey AND t1.o_totalprice > 50000.0"
+)
+# the deterministic output of parse(_PARSE_SEED_SQL) + 2 seeded
+# add_condition mutations (rng seed 2) — schema-only dependent, so it is
+# identical at every SF; doubles as the DuckDB oracle text
+_PARSE_MUTATED_SQL = (
+    "SELECT t1.c_name AS customer_0_c_name, t2.o_orderkey AS orders_0_o_orderkey "
+    "FROM customer t1, orders t2 WHERE t1.c_custkey = t2.o_custkey "
+    "AND t1.c_acctbal > 84.872 AND t2.o_orderkey < 620 AND t2.o_totalprice > 50000.0"
+)
+
+
+@register("parsed_mutated_query", _PARSE_MUTATED_SQL)
+def q_parsed_mutated_query(spark, sf_dir):
+    """SQL text → Query IR (relational/parser.py, the analyzed-plan
+    walker) → 2 seeded QueryBuilder mutations → re-emitted SQL,
+    executed by Spark and hash-checked against the precomputed
+    expected SQL in DuckDB. Proves foreign SQL workloads can be
+    lifted into the IR for guided mutation — reference
+    ``SQLParser.to_query`` parity."""
+    import random as _random
+
+    from deep_query_optimization_spark.catalog import load_database
+    from deep_query_optimization_spark.relational.builder import QueryBuilder
+    from deep_query_optimization_spark.relational.parser import parse_sql
+
+    db = load_database(spark, sf_dir)  # registers the temp views too
+    q = parse_sql(spark, _PARSE_SEED_SQL, db)
+    builder = QueryBuilder(db, rng=_random.Random(2))
+    builder.query = q
+    assert builder.mutate("add_condition") and builder.mutate("add_condition")
+    sql = q.to_sql()
+    assert sql == _PARSE_MUTATED_SQL, f"parser/mutation drift:\n{sql}"
+    return spark.sql(sql)
+
+
 @register(
     "validate_constraints",
     """SELECT check_name, violations, total FROM (
