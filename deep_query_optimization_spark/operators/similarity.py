@@ -83,6 +83,22 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _probe_buckets(sig, n_planes: int, probe_dist: int):
+    """Bucket ids within Hamming distance ``probe_dist`` of ``sig`` —
+    classic multi-probe LSH (query nearby buckets instead of building
+    more tables; Lv et al., VLDB'07). Pure bit-flip expressions."""
+    buckets = [sig]
+    if probe_dist >= 1:
+        buckets += [sig.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)]
+    if probe_dist >= 2:
+        buckets += [
+            sig.bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return buckets
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -92,30 +108,82 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 13,
+    n_tables: int = 3,
+    probe_dist: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probes score only corpus vectors in the same
-    hyperplane bucket. ~2^-n_planes of the corpus per probe."""
-    planes = hyperplanes(dim, n_planes, seed)
+    """Approximate top-k with L independent hash tables × multi-probe.
+
+    Recall engineering: one table of b planes catches a neighbor at
+    angular bit-agreement p with probability ~p^b — far too low for
+    moderate-similarity neighbors. Two standard amplifiers compose
+    here: OR over ``n_tables`` independent plane sets, and probing all
+    buckets within Hamming distance ``probe_dist`` of the probe's
+    signature (multi-probe buys table-equivalents without extra corpus
+    index rows). Per-table recall r = Σ_{i≤d} C(b,i) p^(b-i)(1-p)^i;
+    total = 1-(1-r)^L. Tune (b, L, d) to the corpus: high-similarity
+    neighbors (p≥0.8) afford b=8..16 and d=1; adversarially weak
+    similarity needs fewer planes / deeper probing (recall-tested vs
+    the exact tier in pytest at both regimes).
+
+    Scale shape: corpus index = one scan emitting L rows per vector
+    keyed (table, bucket) — the candidate join is bucket-local, the
+    probe side broadcasts, and candidate pairs are deduped BEFORE the
+    cosine is computed (a pair found by several tables scores once)."""
     c = parallelize_input(corpus).select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("vc"),
         vector_norm(F.col(vec_col)).alias("nc"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        *[
+            lsh_signature(F.col(vec_col), hyperplanes(dim, n_planes, seed + 1000 * l)).alias(f"sig{l}")
+            for l in range(n_tables)
+        ],
     )
-    p = F.broadcast(
-        probes.select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("vp"),
-            vector_norm(F.col(vec_col)).alias("np"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        )
+    c_idx = c.select(
+        "nn_id",
+        "vc",
+        "nc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(l).alias("tbl"), F.col(f"sig{l}").alias("bucket"))
+                    for l in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("nn_id", "vc", "nc", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("vp"),
+        vector_norm(F.col(vec_col)).alias("np"),
+        *[
+            lsh_signature(F.col(vec_col), hyperplanes(dim, n_planes, seed + 1000 * l)).alias(f"sig{l}")
+            for l in range(n_tables)
+        ],
+    )
+    probe_structs = [
+        F.struct(F.lit(l).alias("tbl"), b.alias("bucket"))
+        for l in range(n_tables)
+        for b in _probe_buckets(F.col(f"sig{l}"), n_planes, probe_dist)
+    ]
+    p_idx = F.broadcast(
+        p.select(
+            "probe_id", "vp", "np", F.explode(F.array(*probe_structs)).alias("tb")
+        ).select("probe_id", "vp", "np", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+    # dedup candidate pairs across tables/probes BEFORE scoring: the
+    # cosine is the expensive per-pair expression at high dim
+    cand = (
+        c_idx.join(p_idx, ["tbl", "bucket"])
+        .filter(F.col("probe_id") != F.col("nn_id"))
+        .groupBy("probe_id", "nn_id")
+        .agg(F.first("vp").alias("vp"), F.first("np").alias("np"), F.first("vc").alias("vc"), F.first("nc").alias("nc"))
     )
     cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
     return (
-        c.join(p, ["bucket"])
-        .filter(F.col("probe_id") != F.col("nn_id"))
-        .select("probe_id", "nn_id", cos.alias("cos_raw"))
+        cand.select("probe_id", "nn_id", cos.alias("cos_raw"))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "nn_id", F.round(F.col("cos_raw"), 4).alias("cos"), "rnk")

@@ -195,6 +195,25 @@ def test_lsh_topk_subset_of_bucket(emb):
         assert exact[(r["probe_id"], r["nn_id"])] == r["cos"]
 
 
+def test_lsh_recall_at_5(emb):
+    """Multi-table + multi-probe amplification: single-table recall on
+    this corpus is ~0.02 (neighbors sit at cosine ≈0.37 — near-random,
+    the hardest regime for hyperplane LSH); 3 tables × 6 planes ×
+    Hamming-distance-2 probing lifts recall@5 to ≥0.9."""
+    probes = emb.filter(F.col("vec_id") < 25)
+    exact = {
+        (r["probe_id"], r["nn_id"]) for r in similarity.cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r["probe_id"], r["nn_id"])
+        for r in similarity.hyperplane_lsh_topk(
+            emb, probes, k=5, n_planes=6, n_tables=3, probe_dist=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
 # -- text ---------------------------------------------------------------
 
 
