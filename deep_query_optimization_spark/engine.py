@@ -77,7 +77,11 @@ class DQOEngine:
     # -- workload factory (reference lab/drivers/uniform.py) ------------
 
     def generate_workload(
-        self, n: int, seed: int = 0, partitioner: Log2Partitioner | None = None
+        self,
+        n: int,
+        seed: int = 0,
+        partitioner: Log2Partitioner | None = None,
+        time_budget_s: float | None = None,
     ) -> QueriesDataset:
         if self.db is None:
             self.snapshot()
@@ -85,7 +89,7 @@ class DQOEngine:
             self.db, self.runner.time, partitioner=partitioner or Log2Partitioner(), seed=seed
         )
         ds = QueriesDataset()
-        for sql, runtime in bal.generate(n):
+        for sql, runtime in bal.generate(n, time_budget_s=time_budget_s):
             ds.add(sql, runtime)
         return ds
 

@@ -77,3 +77,61 @@ def compare_reports(reports: dict[str, dict]) -> str:
         m = rep["metrics"] if "metrics" in rep else rep
         lines.append(name.ljust(24) + "".join(f"{m.get(c, float('nan')):>10.3f}" for c in cols))
     return "\n".join(lines)
+
+
+# -- checkpoint-over-time comparison (reference evaluate.py:354) ---------
+
+
+def fit_with_checkpoints(
+    model,
+    plans,
+    runtimes,
+    epochs: int,
+    checkpoint_every: int,
+    out_dir: str,
+    lr: float = 2e-3,
+) -> list[Path]:
+    """Train saving periodic checkpoints — works for any model exposing
+    ``train_step``/``save`` (MLPCostModel, GRUCostModel)."""
+    import math as _math
+
+    targets = [_math.log2(max(t, 1e-3)) for t in runtimes]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: list[Path] = []
+    for e in range(1, epochs + 1):
+        model.train_step(plans, targets, lr)
+        if e % checkpoint_every == 0 or e == epochs:
+            p = out / f"ckpt_{e:05d}.json"
+            model.save(str(p))
+            paths.append(p)
+    return paths
+
+
+def load_checkpoint(path: str):
+    """Sniff the blob format: GRU checkpoints carry a ``params`` dict,
+    MLP checkpoints carry per-type embedding matrices."""
+    from deep_query_optimization_spark.estimator.model import GRUCostModel, MLPCostModel
+
+    with open(path) as f:
+        blob = json.load(f)
+    return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
+
+
+def compare_versions(checkpoint_paths, plans, rows) -> dict[str, dict]:
+    """Evaluate each saved checkpoint on one fixed validation set —
+    the training-progress view the reference's ``compare_versions``
+    (``evaluate.py:354``) produced across its model version zoo.
+    ``rows`` are QueriesDataset rows [(sql, runtime, plan_json)];
+    returns {checkpoint_name: evaluation_report}. Render with
+    ``compare_reports``."""
+    from deep_query_optimization_spark.estimator.metrics import bucketize
+
+    y_true = [bucketize(r) for _, r, _ in rows]
+    out: dict[str, dict] = {}
+    for p in checkpoint_paths:
+        model = load_checkpoint(str(p))
+        preds = model.predict(plans)
+        y_pred = [int(np.clip(round(float(x)), BUCKET_LO, BUCKET_HI)) for x in preds]
+        out[Path(p).stem] = evaluation_report(y_true, y_pred)
+    return out

@@ -185,6 +185,180 @@ class LinearCostModel:
         return X @ self.w
 
 
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+class GRUCostModel:
+    """Sequence model over the plan's node-vector traversal — the
+    reference's headline architecture family (gerelt: per-node-type
+    embeddings feeding GRUs over tree traversals,
+    ``dqo/estimator/gerelt/v20/model.py:17-122``), built in numpy
+    (manual BPTT + Adam) because torch is absent from this container.
+
+    Architecture: per-node-type embedding (ReLU) → two GRUs read the
+    preorder sequence forward and reversed (the cheap stand-in for
+    gerelt's four traversal encoders; the encoder's emission is
+    preorder, ``plans/encoder.py:239-244``) → concat final hidden
+    states → ReLU head → scalar log2(runtime). SmoothL1 loss, same as
+    the reference (``v20/model.py:124-131``)."""
+
+    DIRS = ("f", "b")
+
+    def __init__(self, in_dim: int, embed_dim: int = 32, hidden: int = 32, seed: int = 0) -> None:
+        rng = np.random.default_rng(seed)
+        self.in_dim, self.embed_dim, self.hidden = in_dim, embed_dim, hidden
+        self.P: dict[str, np.ndarray] = {}
+        for t in range(len(NODE_TYPES)):
+            self.P[f"We{t}"] = rng.normal(0, math.sqrt(2.0 / in_dim), (in_dim, embed_dim))
+            self.P[f"be{t}"] = np.zeros(embed_dim)
+        for d in self.DIRS:
+            for g in ("z", "r", "n"):
+                self.P[f"W{g}{d}"] = rng.normal(0, math.sqrt(1.0 / embed_dim), (embed_dim, hidden))
+                self.P[f"U{g}{d}"] = rng.normal(0, math.sqrt(1.0 / hidden), (hidden, hidden))
+                self.P[f"b{g}{d}"] = np.zeros(hidden)
+        self.P["W1"] = rng.normal(0, math.sqrt(2.0 / (2 * hidden)), (2 * hidden, hidden))
+        self.P["b1"] = np.zeros(hidden)
+        self.P["W2"] = rng.normal(0, math.sqrt(2.0 / hidden), (hidden, 1))
+        self.P["b2"] = np.zeros(1)
+        self._adam_state: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._adam_t = 0
+
+    # -- forward -------------------------------------------------------
+
+    def _embed(self, ids, mat):
+        pre = [mat[i] @ self.P[f"We{int(t)}"] + self.P[f"be{int(t)}"] for i, t in enumerate(ids)]
+        return pre, [np.maximum(e, 0) for e in pre]
+
+    def _gru_run(self, xs, d: str):
+        """Forward one direction; returns per-step caches for BPTT."""
+        P = self.P
+        h = np.zeros(self.hidden)
+        caches = []
+        for x in xs:
+            z = _sigmoid(x @ P[f"Wz{d}"] + h @ P[f"Uz{d}"] + P[f"bz{d}"])
+            r = _sigmoid(x @ P[f"Wr{d}"] + h @ P[f"Ur{d}"] + P[f"br{d}"])
+            n = np.tanh(x @ P[f"Wn{d}"] + (r * h) @ P[f"Un{d}"] + P[f"bn{d}"])
+            h_new = (1 - z) * n + z * h
+            caches.append((x, h, z, r, n))
+            h = h_new
+        return h, caches
+
+    def _forward(self, ids, mat):
+        pre, xs = self._embed(ids, mat)
+        hf, cf = self._gru_run(xs, "f")
+        hb, cb = self._gru_run(xs[::-1], "b")
+        hc = np.concatenate([hf, hb])
+        h1_pre = hc @ self.P["W1"] + self.P["b1"]
+        h1 = np.maximum(h1_pre, 0)
+        pred = float((h1 @ self.P["W2"] + self.P["b2"])[0])
+        return pred, (pre, xs, cf, cb, hc, h1_pre, h1)
+
+    def forward(self, ids, mat) -> float:
+        return self._forward(ids, mat)[0]
+
+    def predict(self, plans) -> np.ndarray:
+        return np.array([self.forward(ids, mat) for ids, mat in plans])
+
+    # -- backward ------------------------------------------------------
+
+    def _gru_back(self, dh, caches, d: str, grads, dxs):
+        P = self.P
+        for t in range(len(caches) - 1, -1, -1):
+            x, h_prev, z, r, n = caches[t]
+            dz = dh * (h_prev - n)
+            dn = dh * (1 - z)
+            dh_prev = dh * z
+            dn_pre = dn * (1 - n**2)
+            grads[f"Wn{d}"] += np.outer(x, dn_pre)
+            grads[f"Un{d}"] += np.outer(r * h_prev, dn_pre)
+            grads[f"bn{d}"] += dn_pre
+            dx = P[f"Wn{d}"] @ dn_pre
+            drh = P[f"Un{d}"] @ dn_pre
+            dr = drh * h_prev
+            dh_prev = dh_prev + drh * r
+            dr_pre = dr * r * (1 - r)
+            grads[f"Wr{d}"] += np.outer(x, dr_pre)
+            grads[f"Ur{d}"] += np.outer(h_prev, dr_pre)
+            grads[f"br{d}"] += dr_pre
+            dx = dx + P[f"Wr{d}"] @ dr_pre
+            dh_prev = dh_prev + P[f"Ur{d}"] @ dr_pre
+            dz_pre = dz * z * (1 - z)
+            grads[f"Wz{d}"] += np.outer(x, dz_pre)
+            grads[f"Uz{d}"] += np.outer(h_prev, dz_pre)
+            grads[f"bz{d}"] += dz_pre
+            dx = dx + P[f"Wz{d}"] @ dz_pre
+            dh_prev = dh_prev + P[f"Uz{d}"] @ dz_pre
+            dxs[t] += dx
+            dh = dh_prev
+
+    def _adam(self, name: str, grad: np.ndarray, lr: float) -> None:
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        p = self.P[name]
+        m, v = self._adam_state.get(name, (np.zeros_like(p), np.zeros_like(p)))
+        m = beta1 * m + (1 - beta1) * grad
+        v = beta2 * v + (1 - beta2) * grad**2
+        self._adam_state[name] = (m, v)
+        p -= lr * (m / (1 - beta1**self._adam_t)) / (np.sqrt(v / (1 - beta2**self._adam_t)) + eps)
+
+    def train_step(self, plans, targets, lr: float = 1e-3, clip: float = 5.0) -> float:
+        self._adam_t += 1
+        grads = {k: np.zeros_like(v) for k, v in self.P.items()}
+        total = 0.0
+        n_samples = max(len(plans), 1)
+        for (ids, mat), y in zip(plans, targets):
+            pred, (pre, xs, cf, cb, hc, h1_pre, h1) = self._forward(ids, mat)
+            loss, dpred = smooth_l1(np.array([pred - y]))
+            total += float(loss[0])
+            d = float(dpred[0]) / n_samples
+            grads["W2"] += np.outer(h1, d)
+            grads["b2"] += np.array([d])
+            dh1 = (self.P["W2"][:, 0] * d) * (h1_pre > 0)
+            grads["W1"] += np.outer(hc, dh1)
+            grads["b1"] += dh1
+            dhc = self.P["W1"] @ dh1
+            dxs = [np.zeros(self.embed_dim) for _ in xs]
+            self._gru_back(dhc[: self.hidden], cf, "f", grads, dxs)
+            dxs_rev = [np.zeros(self.embed_dim) for _ in xs]
+            self._gru_back(dhc[self.hidden :], cb, "b", grads, dxs_rev)
+            for t_rev, dx in enumerate(dxs_rev):
+                dxs[len(xs) - 1 - t_rev] += dx
+            for i, t in enumerate(ids):
+                de = dxs[i] * (pre[i] > 0)
+                grads[f"We{int(t)}"] += np.outer(mat[i], de)
+                grads[f"be{int(t)}"] += de
+        gnorm = math.sqrt(sum(float((g**2).sum()) for g in grads.values()))
+        scale = min(1.0, clip / max(gnorm, 1e-12))
+        for name, g in grads.items():
+            self._adam(name, g * scale, lr)
+        return total / n_samples
+
+    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
+        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
+        losses = []
+        for e in range(epochs):
+            losses.append(self.train_step(plans, targets, lr))
+            if log_every and (e + 1) % log_every == 0:
+                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
+        return losses
+
+    # -- persistence ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        blob = {"in_dim": self.in_dim, "embed_dim": self.embed_dim, "hidden": self.hidden}
+        blob["params"] = {k: v.tolist() for k, v in self.P.items()}
+        with open(path, "w") as f:
+            json.dump(blob, f)
+
+    @classmethod
+    def load(cls, path: str) -> "GRUCostModel":
+        with open(path) as f:
+            blob = json.load(f)
+        m = cls(in_dim=blob["in_dim"], embed_dim=blob["embed_dim"], hidden=blob["hidden"])
+        m.P = {k: np.array(v) for k, v in blob["params"].items()}
+        return m
+
+
 def torch_available() -> bool:
     try:
         import torch  # noqa: F401

@@ -46,7 +46,10 @@ class GuidedQueryGen:
 
     def __post_init__(self) -> None:
         self.rng = random.Random(self.seed)
-        self.builder = QueryBuilder(self.db, rng=self.rng)
+        # size-weighted broadening: the runtime-increasing mutation is
+        # joining another FACT table (small dims broadcast for free)
+        self.builder = QueryBuilder(self.db, rng=self.rng, size_weighted=True)
+        self.builder.max_relations = 5  # beyond ~5 it's planning time, not signal
         self.steps = 0
 
     def randomize_initial(self) -> None:
@@ -69,6 +72,24 @@ class GuidedQueryGen:
             return BROADENING
         return ()
 
+    def _step_size(self, runtime: float) -> int:
+        """Adaptive mutation count per measure: one mutation moves the
+        runtime far less than one log2 bucket (a removed condition
+        halves selectivity at best, and heavily-conditioned random
+        starts sit many orders below a slow target), so apply up to 4
+        mutations per measurement, scaled by the log-distance."""
+        import math
+
+        if runtime <= 0:
+            return 1
+        if runtime < self.target_lo:
+            dist = math.log2(self.target_lo / runtime)
+        elif runtime > self.target_hi:
+            dist = math.log2(runtime / self.target_hi)
+        else:
+            return 0
+        return max(1, min(4, round(dist)))
+
     def step(self) -> tuple[Query, float, bool]:
         """One measure-then-mutate step (reference ``guided.py:170-177``).
         Returns (executed_query, its_runtime, hit_target).
@@ -85,9 +106,10 @@ class GuidedQueryGen:
         moves = self._policy(runtime)
         if not moves:
             return executed, runtime, True
-        for name in self.rng.sample(moves, len(moves)):
-            if self.builder.mutate(name):
-                break
+        for _ in range(self._step_size(runtime)):
+            for name in self.rng.sample(moves, len(moves)):
+                if self.builder.mutate(name):
+                    break
         return executed, runtime, False
 
     def generate(self) -> tuple[Query, float] | None:
@@ -139,12 +161,19 @@ class BalancedQueryGen:
         self.dataset.append((sql, runtime))
         self.histogram[self.partitioner.bucket(runtime)] += 1
 
-    def generate(self, n: int) -> list[tuple[str, float]]:
+    def generate(self, n: int, time_budget_s: float | None = None) -> list[tuple[str, float]]:
         """Generate n distinct (sql, runtime) rows. Every executed query
         is recorded (reference ``guided.py:213-220`` — the histogram
-        callback fires on every run, not only on target hits)."""
+        callback fires on every run, not only on target hits).
+        ``time_budget_s`` bounds wall-clock (live-cluster discipline:
+        a fan-out query near the runner timeout costs its full cap)."""
+        import time as _time
+
+        deadline = _time.monotonic() + time_budget_s if time_budget_s else None
         seen: set[str] = set()
         while len(self.dataset) < n:
+            if deadline is not None and _time.monotonic() > deadline:
+                break
             while len(self._queue) < self.queue_size:
                 self._queue.append(self._spawn())
             gen = self._queue.pop(0)

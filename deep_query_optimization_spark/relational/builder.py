@@ -60,6 +60,7 @@ class QueryBuilder:
         query: Query | None = None,
         rng: random.Random | None = None,
         condition_factory: Callable | None = None,
+        size_weighted: bool = False,
     ) -> None:
         self.db = db
         self.query = query or Query()
@@ -69,7 +70,23 @@ class QueryBuilder:
 
             condition_factory = rand_condition
         self.condition_factory = condition_factory
+        # size-weighted add_relation: candidate tables weighted by
+        # log10(rows). On a modern optimizer every small dim broadcasts
+        # for free, so a runtime-targeting loop (GuidedQueryGen broaden)
+        # that samples tables uniformly almost never moves the runtime;
+        # joining another FACT table is the mutation that does.
+        self.size_weighted = size_weighted
+        # optional cap on relations per query: joins beyond ~5 relations
+        # mostly add optimizer-planning time, not informative runtime
+        self.max_relations: int | None = None
         self._undo: list[Query] = []
+
+    def _table_weight(self, name: str) -> float:
+        import math
+
+        t = self.db[name]
+        rows = t.stats.rows if t.stats is not None and t.stats.rows else 10
+        return math.log10(rows + 10)
 
     # -- undo ----------------------------------------------------------
 
@@ -95,6 +112,8 @@ class QueryBuilder:
         return len(self.query.relations) > 1
 
     def can_add_relation(self) -> bool:
+        if self.max_relations is not None and len(self.query.relations) >= self.max_relations:
+            return False
         return len(self.query.relations) < len(self.db)
 
     # -- mutations -----------------------------------------------------
@@ -152,11 +171,17 @@ class QueryBuilder:
         """Add an unused table and connect it with an equi-join so the
         join graph stays spanning (reference ``query_builder.py``
         add_relation + join repair)."""
+        if not self.can_add_relation():
+            return False
         used = {r.name for r in self.query.relations}
         candidates = sorted(t.name for t in self.db.tables if t.name not in used)
         if not candidates:
             return False
-        new_rel = TableRef(self.rng.choice(candidates))
+        if self.size_weighted:
+            weights = [self._table_weight(n) for n in candidates]
+            new_rel = TableRef(self.rng.choices(candidates, weights=weights)[0])
+        else:
+            new_rel = TableRef(self.rng.choice(candidates))
         joins = [
             j
             for j in valid_joins(self.db, self.query.relations | {new_rel})

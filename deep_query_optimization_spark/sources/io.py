@@ -51,7 +51,20 @@ def write_bucketed(
 ) -> None:
     """Bucketed managed table: both sides bucketed on the join key by
     the same bucket count join WITHOUT a shuffle (SortMergeJoin reads
-    bucket files pair-wise)."""
+    bucket files pair-wise).
+
+    Idempotent across sessions: a fresh session's in-memory catalog
+    does not know tables whose warehouse directories survive on disk,
+    and ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS — drop
+    the catalog entry AND any orphan location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table_name}")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
     if sort_by:
         w = w.sortBy(sort_by)

@@ -996,6 +996,69 @@ def q_or_multi_flatten(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber")
 
 
+@register(
+    "salted_join_agg",
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_salted_join_agg(spark, sf_dir):
+    """Skew-mitigated equi-join (functions.salted_join): the fact side
+    is salted by a row hash, the dimension side explodes across all
+    salts, so one hot key spreads over n_salts reducers. Result is
+    IDENTICAL to the plain join — the oracle is the plain SQL join, so
+    the salting layout itself is hash-checked."""
+    from deep_query_optimization_spark.functions import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, ords, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+@register(
+    "bucketed_join_agg",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              ROUND(SUM(o_totalprice), 2) AS sum_total
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o_totalprice > 100000.0
+       GROUP BY l_returnflag""",
+)
+def q_bucketed_join_agg(spark, sf_dir):
+    """Bucketed-layout join (sources.write_bucketed): both fact tables
+    are written bucketed on the join key with the same bucket count,
+    then joined bucket-locally — the SortMergeJoin reads bucket files
+    pair-wise with NO shuffle exchange on either side (asserted in
+    tests/test_datagen_sources.py). The oracle joins the plain parquet,
+    so the bucketed layout round-trip is hash-checked."""
+    from deep_query_optimization_spark.sources.io import write_bucketed
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    ords = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    write_bucketed(li, "dqo_gate_li_bkt", "l_orderkey", n_buckets=8)
+    write_bucketed(ords, "dqo_gate_ord_bkt", "o_orderkey", n_buckets=8)
+    li_b = spark.table("dqo_gate_li_bkt")
+    ord_b = spark.table("dqo_gate_ord_bkt")
+    return (
+        li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: wq.fn for name, wq in REGISTRY.items()}
 

@@ -103,6 +103,108 @@ def test_mlp_learns_synthetic_cost():
     assert corr > 0.8
 
 
+def test_gru_gradients_match_finite_differences():
+    """The hand-written BPTT must agree with numerical gradients — the
+    one test that catches a silently-wrong backward pass."""
+    from deep_query_optimization_spark.estimator.model import GRUCostModel, smooth_l1
+
+    rng = np.random.default_rng(0)
+    m = GRUCostModel(in_dim=7, embed_dim=5, hidden=4, seed=1)
+    plans = [(np.array([0, 2, 1, 3]), rng.normal(size=(4, 7))), (np.array([1, 1, 2]), rng.normal(size=(3, 7)))]
+    targets = [0.7, -1.3]
+
+    grads = {k: np.zeros_like(v) for k, v in m.P.items()}
+    n = len(plans)
+    for (ids, mat), y in zip(plans, targets):
+        pred, (pre, xs, cf, cb, hc, h1_pre, h1) = m._forward(ids, mat)
+        _, dpred = smooth_l1(np.array([pred - y]))
+        d = float(dpred[0]) / n
+        grads["W2"] += np.outer(h1, d)
+        grads["b2"] += np.array([d])
+        dh1 = (m.P["W2"][:, 0] * d) * (h1_pre > 0)
+        grads["W1"] += np.outer(hc, dh1)
+        grads["b1"] += dh1
+        dhc = m.P["W1"] @ dh1
+        dxs = [np.zeros(m.embed_dim) for _ in xs]
+        m._gru_back(dhc[: m.hidden], cf, "f", grads, dxs)
+        dxs_rev = [np.zeros(m.embed_dim) for _ in xs]
+        m._gru_back(dhc[m.hidden :], cb, "b", grads, dxs_rev)
+        for t_rev, dx in enumerate(dxs_rev):
+            dxs[len(xs) - 1 - t_rev] += dx
+        for i, t in enumerate(ids):
+            de = dxs[i] * (pre[i] > 0)
+            grads[f"We{int(t)}"] += np.outer(mat[i], de)
+            grads[f"be{int(t)}"] += de
+
+    def loss_fn():
+        total = 0.0
+        for (ids, mat), y in zip(plans, targets):
+            loss, _ = smooth_l1(np.array([m.forward(ids, mat) - y]))
+            total += float(loss[0])
+        return total / n
+
+    eps = 1e-6
+    for name in ("Wzf", "Urf", "Unb", "bnf", "W1", "We0", "Uzb"):
+        p = m.P[name]
+        idx = tuple(np.unravel_index(np.argmax(np.abs(grads[name])), p.shape))
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp = loss_fn()
+        p[idx] = orig - eps
+        lm = loss_fn()
+        p[idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = grads[name][idx]
+        rel = abs(num - ana) / max(1e-8, abs(num) + abs(ana))
+        assert rel < 1e-5, f"{name}: analytic {ana} vs numeric {num}"
+
+
+def test_gru_learns_order_sensitive_cost():
+    """A cost signal encoded in node ORDER: two plans with identical
+    node multisets but different traversal orders have different
+    runtimes. Mean-pooled MLP and count-based linear baselines are
+    order-blind by construction; the GRU must separate them."""
+    from deep_query_optimization_spark.estimator.model import GRUCostModel, LinearCostModel
+
+    rng = np.random.default_rng(3)
+    width = 12
+    plans, runtimes = [], []
+    for _ in range(90):
+        # sequence of 6 nodes: 3 joins (type 2) + 3 selections (type 3)
+        order = rng.permutation([2, 2, 2, 3, 3, 3])
+        ids = np.array(order, dtype=np.int64)
+        mat = rng.normal(0, 0.05, (6, width))
+        # cost = number of joins BEFORE the first selection (pipeline
+        # blocking depth) — pure order information
+        first_sel = int(np.argmax(ids == 3))
+        n_blocking = int((ids[:first_sel] == 2).sum())
+        plans.append((ids, mat))
+        runtimes.append(float(2.0**n_blocking * 0.5))
+    gru = GRUCostModel(in_dim=width, embed_dim=12, hidden=12, seed=0)
+    gru.fit(plans, runtimes, epochs=220, lr=5e-3)
+    targets = np.array([math.log2(t) for t in runtimes])
+    gru_corr = np.corrcoef(gru.predict(plans), targets)[0, 1]
+    assert gru_corr > 0.85, f"GRU corr {gru_corr:.3f}"
+
+    lin = LinearCostModel()
+    lin.fit(plans, runtimes)
+    lin_corr = np.corrcoef(lin.predict(plans), targets)[0, 1]
+    assert gru_corr > lin_corr + 0.3, f"GRU {gru_corr:.3f} vs linear {lin_corr:.3f}"
+
+
+def test_gru_save_load_roundtrip(tmp_path):
+    from deep_query_optimization_spark.estimator.model import GRUCostModel
+
+    m = GRUCostModel(in_dim=8, embed_dim=4, hidden=4, seed=0)
+    ids = np.array([0, 1, 2], dtype=np.int64)
+    mat = np.ones((3, 8))
+    before = m.forward(ids, mat)
+    p = tmp_path / "g.json"
+    m.save(str(p))
+    m2 = GRUCostModel.load(str(p))
+    assert m2.forward(ids, mat) == pytest.approx(before)
+
+
 def test_mlp_save_load_roundtrip(tmp_path):
     model = MLPCostModel(in_dim=8, embed_dim=4, hidden=4, seed=0)
     ids = np.array([0, 1], dtype=np.int64)
@@ -170,6 +272,40 @@ def test_evaluate_report_and_artifacts(tmp_path):
     assert p.name.startswith("val_results_7_acc_0.7") and p.suffix == ".json"
     table = compare_reports({"mlp": rep, "baseline": rep})
     assert "mlp" in table and "acc" in table
+
+
+def test_checkpoint_compare_versions(tmp_path):
+    """Checkpoints saved during training evaluate on one fixed
+    validation set; later checkpoints must not be worse than the first
+    on training-distribution data (reference compare_versions)."""
+    from deep_query_optimization_spark.estimator.evaluate import (
+        compare_reports,
+        compare_versions,
+        fit_with_checkpoints,
+    )
+    from deep_query_optimization_spark.estimator.model import MLPCostModel
+
+    rng = np.random.default_rng(0)
+    width = 10
+    plans, runtimes = [], []
+    for _ in range(60):
+        n_joins = int(rng.integers(0, 5))
+        ids = np.array([2] * n_joins + [0], dtype=np.int64)
+        mat = rng.normal(0, 0.05, (len(ids), width))
+        mat[:n_joins, 0] = 1.0
+        plans.append((ids, mat))
+        runtimes.append(float(2.0**n_joins * 0.5))
+    rows = [(f"q{i}", r, None) for i, r in enumerate(runtimes)]
+
+    model = MLPCostModel(in_dim=width, embed_dim=8, hidden=8, seed=0)
+    paths = fit_with_checkpoints(model, plans, runtimes, epochs=300, checkpoint_every=100, out_dir=str(tmp_path))
+    assert len(paths) == 3
+    reports = compare_versions(paths, plans, rows)
+    assert len(reports) == 3
+    maes = [rep["metrics"]["mae"] for rep in reports.values()]
+    assert maes[-1] <= maes[0], f"training MAE got worse across checkpoints: {maes}"
+    table = compare_reports(reports)
+    assert "ckpt_00100" in table and "ckpt_00300" in table
 
 
 def test_linear_baseline_learns_join_count():

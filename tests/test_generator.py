@@ -117,6 +117,30 @@ def test_balanced_gen_rows_correctly_labeled(db):
     assert not mislabeled, f"{len(mislabeled)}/25 rows mislabeled"
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DQO_SLOW"),
+    reason="live sf0.1 bucket-fill integration (minutes); set DQO_SLOW=1",
+)
+def test_balanced_gen_fills_buckets_live_sf01(spark):
+    """BalancedQueryGen against live Spark at sf0.1 occupies >=5 log2
+    runtime buckets within a bounded time budget — the spread the
+    estimator comparison needs (VERDICT r1 #7). The default-suite twin
+    of this check is the committed artifact reports/report.json from
+    tools/train_estimator.py."""
+    from deep_query_optimization_spark.engine import DQOEngine
+    from deep_query_optimization_spark.generator.guided import BalancedQueryGen
+    from deep_query_optimization_spark.generator.partitioner import Log2Partitioner
+    from deep_query_optimization_spark.estimator.metrics import bucketize
+
+    eng = DQOEngine(spark, "/root/testdata/sf0.1")
+    db_live = eng.snapshot()
+    eng.runner.timeout_s = 25
+    bal = BalancedQueryGen(db_live, eng.runner.time, partitioner=Log2Partitioner(-3, 2), seed=42)
+    rows = bal.generate(150, time_budget_s=360)
+    occupied = {bucketize(rt) for _, rt in rows}
+    assert len(occupied) >= 5, f"only {sorted(occupied)} occupied after {len(rows)} rows"
+
+
 def test_guided_gen_memoizes(db):
     runner = FakeRunner()
     gen = GuidedQueryGen(db, runner, target_lo=0.0, target_hi=100.0, seed=5)

@@ -1,9 +1,17 @@
 """End-to-end estimator training driver — the reference's
-``train_tpch.py`` analog (``dqo/estimator/gerelt/v20/train_tpch.py``).
+``train_tpch.py`` analog (``dqo/estimator/gerelt/v20/train_tpch.py``)
+plus the model-family comparison (``estimator/evaluate.py:354``).
 
-Generates a balanced labeled workload on the given tables, trains the
-plan-vector cost model, reports bucket metrics, and saves model +
-dataset artifacts.
+Generates a balanced labeled workload (BalancedQueryGen against live
+Spark — the histogram-filling loop is what widens the runtime-bucket
+spread beyond what uniform random generation reaches), encodes the
+optimized plans, trains the three model families (linear baseline,
+pooled MLP, sequence GRU) on one stratified split, and writes:
+
+- ``<out>/workload.csv``          labeled (sql, runtime) rows
+- ``<out>/model_<fam>.json``      trained weights per family
+- ``<out>/report.json``           per-family train/test metrics +
+                                  bucket histogram
 
 Usage:
     python tools/train_estimator.py [sf_dir] [n_queries] [out_dir]
@@ -13,18 +21,38 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 from pathlib import Path
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
+from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics  # noqa: E402
+from deep_query_optimization_spark.estimator.model import (  # noqa: E402
+    GRUCostModel,
+    LinearCostModel,
+    MLPCostModel,
+)
 from deep_query_optimization_spark.generator.partitioner import Log2Partitioner  # noqa: E402
 from deep_query_optimization_spark.session import get_spark  # noqa: E402
 
 
+def evaluate(model, plans, rows) -> dict:
+    if not rows:
+        return {}
+    preds = model.predict(plans)
+    buckets = [bucketize(r) for _, r, _ in rows]
+    pred_buckets = [int(np.clip(round(p), -3, 8)) for p in preds]
+    m = mcc_metrics(buckets, pred_buckets)
+    m["mae"] = mae(buckets, pred_buckets)
+    return m
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     out = Path(sys.argv[3] if len(sys.argv) > 3 else "/tmp/dqo_estimator")
     out.mkdir(parents=True, exist_ok=True)
 
@@ -32,23 +60,56 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     engine = DQOEngine(spark, sf_dir, snapshot_path=str(out / "schema.json"))
     engine.snapshot()
+    engine.runner.timeout_s = 30  # runaway join → canceled, labeled at the cap
     print(f"schema+stats snapshot: {len(engine.db)} tables")
 
     # local[*] runtimes compress into few log2 buckets — use a narrow
-    # partitioner so balancing has something to balance (SURVEY §7 risk 2)
-    ds = engine.generate_workload(n, seed=42, partitioner=Log2Partitioner(-3, 2))
+    # partitioner so balancing has something to balance (SURVEY §7 risk 2);
+    # the balance loop's broaden mutations are what reach the slow buckets
+    t0 = time.time()
+    ds = engine.generate_workload(
+        n, seed=42, partitioner=Log2Partitioner(-3, 2), time_budget_s=420
+    )
     ds.save(str(out / "workload.csv"))
     hist: dict[int, int] = {}
     for b in ds.buckets():
         hist[b] = hist.get(b, 0) + 1
-    print(f"workload: {len(ds.rows)} labeled queries, bucket histogram {dict(sorted(hist.items()))}")
+    occupied = {b: c for b, c in sorted(hist.items()) if c}
+    print(
+        f"workload: {len(ds.rows)} labeled queries in {time.time() - t0:.0f}s, "
+        f"bucket histogram {occupied} ({len(occupied)} occupied)"
+    )
 
-    report = engine.train_estimator(ds, epochs=150)
-    engine.model.save(str(out / "model.json"))
+    train, test = ds.stratified_split(0.2, seed=0)
+    enc_train = [engine.encode_sql(sql) for sql, _, _ in train.rows]
+    enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
+    rt_train = [r for _, r, _ in train.rows]
+
+    report: dict = {"n": len(ds.rows), "bucket_histogram": occupied, "models": {}}
+    families = {
+        "linear": LinearCostModel(),
+        "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
+        "gru": GRUCostModel(in_dim=engine.encoder.width, seed=0),
+    }
+    for fam, model in families.items():
+        t0 = time.time()
+        if fam == "linear":
+            model.fit(enc_train, rt_train)
+        else:
+            model.fit(enc_train, rt_train, epochs=150, lr=2e-3)
+        res = {
+            "train": evaluate(model, enc_train, train.rows),
+            "test": evaluate(model, enc_test, test.rows),
+            "fit_seconds": round(time.time() - t0, 1),
+        }
+        report["models"][fam] = res
+        if hasattr(model, "save"):
+            model.save(str(out / f"model_{fam}.json"))
+        print(f"{fam:7s} test: {({k: round(v, 3) for k, v in res['test'].items()})}")
+
     with open(out / "report.json", "w") as f:
         json.dump(report, f, indent=1)
-    print("train:", {k: round(v, 3) for k, v in report["train"].items()})
-    print("test: ", {k: round(v, 3) for k, v in report["test"].items()})
+    engine.model = families["mlp"]
 
     sql = "SELECT MIN(l.l_extendedprice) FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey"
     print(f"estimate({sql[:50]}...) -> {engine.estimate(sql):.3f}s, bucket {engine.estimate_bucket(sql)}")
