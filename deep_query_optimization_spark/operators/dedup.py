@@ -103,11 +103,15 @@ def jaccard_pairs(
     which a single stop-phrase 3-gram makes quadratic at corpus scale;
     dropped shingles discriminate nothing. Pass None for the exact
     unguarded computation."""
+    from pyspark.sql.window import Window
+
     sh = shingle_hashes(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df_cnt"))
+        # window count over hv: ONE added shuffle (vs a groupBy + join
+        # back), and the filtered index is what gets cached
         sh = (
-            sh.join(freq.filter(F.col("df_cnt") <= max_shingle_df), "hv")
+            sh.withColumn("df_cnt", F.count(F.lit(1)).over(Window.partitionBy("hv")))
+            .filter(F.col("df_cnt") <= max_shingle_df)
             .select("id", "hv")
         )
     sh = cache_index(sh, "jaccard_shingles")
@@ -180,19 +184,24 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    all_bands = cache_index(
-        sig.select(F.col("id"), F.explode(F.array(*band_structs)).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")),
-        "minhash_bands",
+    from pyspark.sql.window import Window
+
+    all_bands = sig.select(F.col("id"), F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    all_bands.count()  # materialize the LSH index before the self-join
     if max_bucket_size is not None:
-        sizes = all_bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-        joinable = all_bands.join(
-            sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "key"]
-        ).select("id", "band", "key")
-    else:
-        joinable = all_bands
+        # window count per (band, key): one added shuffle, and the
+        # CAPPED index is what gets cached — the self-join reads the
+        # already-filtered table twice
+        all_bands = (
+            all_bands.withColumn(
+                "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+            )
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("id", "band", "key")
+        )
+    joinable = cache_index(all_bands, "minhash_bands")
+    joinable.count()  # materialize the LSH index before the self-join
     a = joinable.alias("a")
     b = joinable.alias("b")
     return (
