@@ -120,6 +120,13 @@ class DQOEngine:
         plan_json = df._jdf.queryExecution().optimizedPlan().toJSON()
         return self.encoder.encode_plan(parse_plan_json(plan_json))
 
+    def encode_sql_tree(self, sql: str):
+        """(ids, mat, children) with tree structure preserved — the
+        TreeLSTM input (reference treelstm/v1/childsum.py)."""
+        df = self.spark.sql(sql)
+        plan_json = df._jdf.queryExecution().optimizedPlan().toJSON()
+        return self.encoder.encode_tree(parse_plan_json(plan_json))
+
     def train_estimator(
         self, ds: QueriesDataset, epochs: int = 200, lr: float = 3e-3, seed: int = 0
     ) -> dict:

@@ -109,12 +109,19 @@ def fit_with_checkpoints(
 
 
 def load_checkpoint(path: str):
-    """Sniff the blob format: GRU checkpoints carry a ``params`` dict,
-    MLP checkpoints carry per-type embedding matrices."""
-    from deep_query_optimization_spark.estimator.model import GRUCostModel, MLPCostModel
+    """Sniff the blob format: TreeLSTM blobs are tagged ``kind``, GRU
+    checkpoints carry a ``params`` dict, MLP checkpoints carry per-type
+    embedding matrices."""
+    from deep_query_optimization_spark.estimator.model import (
+        GRUCostModel,
+        MLPCostModel,
+        TreeLSTMCostModel,
+    )
 
     with open(path) as f:
         blob = json.load(f)
+    if blob.get("kind") == "treelstm":
+        return TreeLSTMCostModel.load(path)
     return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
 
 

@@ -359,6 +359,189 @@ class GRUCostModel:
         return m
 
 
+class TreeLSTMCostModel:
+    """Child-sum TreeLSTM over the PLAN TREE (reference
+    ``dqo/estimator/treelstm/v1/childsum.py:7`` — Tai et al. 2015),
+    numpy with manual structural backprop + Adam. Where the GRU reads a
+    linearized traversal, this recurses the actual operator tree:
+    per-node-type embedded inputs, child-hidden sums for the i/o/u
+    gates, one forget gate PER CHILD, root hidden state → ReLU head →
+    log2(runtime).
+
+    Consumes ``PlanEncoder.encode_tree`` output: (ids, mat, children)
+    with preorder indexing (child index > parent index, so iterating
+    indices in reverse is bottom-up and forward order is top-down)."""
+
+    GATES = ("i", "o", "u", "f")
+
+    def __init__(self, in_dim: int, embed_dim: int = 32, hidden: int = 32, seed: int = 0) -> None:
+        rng = np.random.default_rng(seed)
+        self.in_dim, self.embed_dim, self.hidden = in_dim, embed_dim, hidden
+        self.P: dict[str, np.ndarray] = {}
+        for t in range(len(NODE_TYPES)):
+            self.P[f"We{t}"] = rng.normal(0, math.sqrt(2.0 / in_dim), (in_dim, embed_dim))
+            self.P[f"be{t}"] = np.zeros(embed_dim)
+        for g in self.GATES:
+            self.P[f"W{g}"] = rng.normal(0, math.sqrt(1.0 / embed_dim), (embed_dim, hidden))
+            self.P[f"U{g}"] = rng.normal(0, math.sqrt(1.0 / hidden), (hidden, hidden))
+            self.P[f"b{g}"] = np.zeros(hidden)
+        # forget bias 1.0: standard LSTM trick so child state flows early
+        self.P["bf"] += 1.0
+        self.P["W1"] = rng.normal(0, math.sqrt(2.0 / hidden), (hidden, hidden))
+        self.P["b1"] = np.zeros(hidden)
+        self.P["W2"] = rng.normal(0, math.sqrt(2.0 / hidden), (hidden, 1))
+        self.P["b2"] = np.zeros(1)
+        self._adam_state: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._adam_t = 0
+
+    def _embed(self, ids, mat):
+        pre = [mat[i] @ self.P[f"We{int(t)}"] + self.P[f"be{int(t)}"] for i, t in enumerate(ids)]
+        return pre, [np.maximum(e, 0) for e in pre]
+
+    def _forward(self, ids, mat, children):
+        P = self.P
+        pre, xs = self._embed(ids, mat)
+        n = len(xs)
+        h = [None] * n
+        c = [None] * n
+        cache = [None] * n
+        for j in range(n - 1, -1, -1):  # children first (preorder indices)
+            x = xs[j]
+            kids = children[j]
+            hsum = np.sum([h[k] for k in kids], axis=0) if kids else np.zeros(self.hidden)
+            gi = _sigmoid(x @ P["Wi"] + hsum @ P["Ui"] + P["bi"])
+            go = _sigmoid(x @ P["Wo"] + hsum @ P["Uo"] + P["bo"])
+            gu = np.tanh(x @ P["Wu"] + hsum @ P["Uu"] + P["bu"])
+            fks = [_sigmoid(x @ P["Wf"] + h[k] @ P["Uf"] + P["bf"]) for k in kids]
+            cj = gi * gu + (np.sum([f * c[k] for f, k in zip(fks, kids)], axis=0) if kids else 0.0)
+            hj = go * np.tanh(cj)
+            h[j], c[j] = hj, cj
+            cache[j] = (x, hsum, gi, go, gu, fks, cj)
+        # spliced non-vocabulary nodes (union/limit/sort) can leave a
+        # forest — pool the root hiddens
+        is_child = [False] * n
+        for kids in children:
+            for k in kids:
+                is_child[k] = True
+        roots = [j for j in range(n) if not is_child[j]]
+        h_root = np.mean([h[j] for j in roots], axis=0)
+        h1_pre = h_root @ P["W1"] + P["b1"]
+        h1 = np.maximum(h1_pre, 0)
+        predv = float((h1 @ P["W2"] + P["b2"])[0])
+        return predv, (pre, xs, h, c, cache, h1_pre, h1, roots, h_root)
+
+    def forward(self, ids, mat, children) -> float:
+        return self._forward(ids, mat, children)[0]
+
+    def predict(self, plans) -> np.ndarray:
+        return np.array([self.forward(ids, mat, ch) for ids, mat, ch in plans])
+
+    def _backward(self, ids, mat, children, fwd, dpred, grads):
+        P = self.P
+        pre, xs, h, c, cache, h1_pre, h1, roots, h_root = fwd
+        n = len(xs)
+        grads["W2"] += np.outer(h1, dpred)
+        grads["b2"] += np.array([dpred])
+        dh1 = (P["W2"][:, 0] * dpred) * (h1_pre > 0)
+        grads["W1"] += np.outer(h_root, dh1)
+        grads["b1"] += dh1
+        dh = [np.zeros(self.hidden) for _ in range(n)]
+        dc = [np.zeros(self.hidden) for _ in range(n)]
+        dh_root = P["W1"] @ dh1 / len(roots)
+        for j in roots:
+            dh[j] = dh_root.copy()
+        dxs = [np.zeros(self.embed_dim) for _ in range(n)]
+        for j in range(n):  # parents first: children receive grads later
+            x, hsum, gi, go, gu, fks, cj = cache[j]
+            kids = children[j]
+            tc = np.tanh(cj)
+            dgo = dh[j] * tc
+            dcj = dc[j] + dh[j] * go * (1 - tc**2)
+            dgi = dcj * gu
+            dgu = dcj * gi
+            di_pre = dgi * gi * (1 - gi)
+            do_pre = dgo * go * (1 - go)
+            du_pre = dgu * (1 - gu**2)
+            grads["Wi"] += np.outer(x, di_pre)
+            grads["Wo"] += np.outer(x, do_pre)
+            grads["Wu"] += np.outer(x, du_pre)
+            grads["Ui"] += np.outer(hsum, di_pre)
+            grads["Uo"] += np.outer(hsum, do_pre)
+            grads["Uu"] += np.outer(hsum, du_pre)
+            grads["bi"] += di_pre
+            grads["bo"] += do_pre
+            grads["bu"] += du_pre
+            dx = P["Wi"] @ di_pre + P["Wo"] @ do_pre + P["Wu"] @ du_pre
+            dhsum = P["Ui"] @ di_pre + P["Uo"] @ do_pre + P["Uu"] @ du_pre
+            for f, k in zip(fks, kids):
+                dfk = dcj * c[k]
+                df_pre = dfk * f * (1 - f)
+                grads["Wf"] += np.outer(x, df_pre)
+                grads["Uf"] += np.outer(h[k], df_pre)
+                grads["bf"] += df_pre
+                dx = dx + P["Wf"] @ df_pre
+                dh[k] += dhsum + P["Uf"] @ df_pre
+                dc[k] += dcj * f
+            dxs[j] += dx
+        for i, t in enumerate(ids):
+            de = dxs[i] * (pre[i] > 0)
+            grads[f"We{int(t)}"] += np.outer(mat[i], de)
+            grads[f"be{int(t)}"] += de
+
+    def _adam(self, name: str, grad: np.ndarray, lr: float) -> None:
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        p = self.P[name]
+        m, v = self._adam_state.get(name, (np.zeros_like(p), np.zeros_like(p)))
+        m = beta1 * m + (1 - beta1) * grad
+        v = beta2 * v + (1 - beta2) * grad**2
+        self._adam_state[name] = (m, v)
+        p -= lr * (m / (1 - beta1**self._adam_t)) / (np.sqrt(v / (1 - beta2**self._adam_t)) + eps)
+
+    def train_step(self, plans, targets, lr: float = 1e-3, clip: float = 5.0) -> float:
+        self._adam_t += 1
+        grads = {k: np.zeros_like(v) for k, v in self.P.items()}
+        total = 0.0
+        n_samples = max(len(plans), 1)
+        for (ids, mat, ch), y in zip(plans, targets):
+            predv, fwd = self._forward(ids, mat, ch)
+            loss, dpred = smooth_l1(np.array([predv - y]))
+            total += float(loss[0])
+            self._backward(ids, mat, ch, fwd, float(dpred[0]) / n_samples, grads)
+        gnorm = math.sqrt(sum(float((g**2).sum()) for g in grads.values()))
+        scale = min(1.0, clip / max(gnorm, 1e-12))
+        for name, g in grads.items():
+            self._adam(name, g * scale, lr)
+        return total / n_samples
+
+    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
+        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
+        losses = []
+        for e in range(epochs):
+            losses.append(self.train_step(plans, targets, lr))
+            if log_every and (e + 1) % log_every == 0:
+                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
+        return losses
+
+    def save(self, path: str) -> None:
+        blob = {
+            "kind": "treelstm",
+            "in_dim": self.in_dim,
+            "embed_dim": self.embed_dim,
+            "hidden": self.hidden,
+            "params": {k: v.tolist() for k, v in self.P.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(blob, f)
+
+    @classmethod
+    def load(cls, path: str) -> "TreeLSTMCostModel":
+        with open(path) as f:
+            blob = json.load(f)
+        m = cls(in_dim=blob["in_dim"], embed_dim=blob["embed_dim"], hidden=blob["hidden"])
+        m.P = {k: np.array(v) for k, v in blob["params"].items()}
+        return m
+
+
 def torch_available() -> bool:
     try:
         import torch  # noqa: F401

@@ -201,6 +201,28 @@ def text_fingerprint() -> str:
     return f"SELECT doc_id, {H64.format(s='text')} AS fp FROM documents"
 
 
+def text_token_counts() -> str:
+    """Mirrors ``text.token_count`` + ``text.subword_token_count``
+    (same regex — ASCII-simplified so Java regex and DuckDB's RE2
+    tokenize identically)."""
+    from deep_query_optimization_spark.operators.text import BPE_PRETOKEN_RE
+
+    # DuckDB string literals are not C-escaped: the pattern goes in
+    # verbatim (doubling the backslash would put a literal '\' inside
+    # the character class and break it)
+    pat = BPE_PRETOKEN_RE
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_subword_tokens,
+  ROUND(len(regexp_extract_all(text, '{pat}')) * 1.0 /
+        greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS subword_ratio
+FROM documents
+""".strip()
+
+
 def multimodal_meta() -> str:
     return """
 SELECT doc_id,

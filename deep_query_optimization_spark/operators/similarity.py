@@ -83,6 +83,112 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+    sample_n: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+) -> list[list[float]]:
+    """Seeded k-means centroids from a BOUNDED deterministic sample
+    (lowest ids) — the IVF coarse quantizer's training step. The
+    driver-side work is capped at ``sample_n`` vectors regardless of
+    corpus size (0.5 MB at 2048×64f); everything distributed happens in
+    ``ivf_topk``. numpy Lloyd iterations, deterministic init."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
+
+def _cluster_scores(vec_col, cents: list[list[float]]):
+    """Per-centroid comparison scores −2·v·c + |c|² (squared distance
+    minus the row-constant |v|²) as (score, cluster) structs — pure
+    JVM expressions."""
+    structs = []
+    for j, c in enumerate(cents):
+        arr = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec_col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        c2 = sum(x * x for x in c)
+        structs.append(F.struct((F.lit(c2) - 2.0 * dot).alias("s"), F.lit(j).alias("c")))
+    return F.array(*structs)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF approximate top-k — the centroid-bucketed alternative to
+    hyperplane LSH: a coarse k-means quantizer (trained on a bounded
+    sample) assigns every corpus vector to its nearest of ``nlist``
+    centroids; probes scan only their ``nprobe`` nearest cells.
+
+    Scale shape: one corpus scan computes the ``nlist`` centroid
+    scores JVM-side and keeps argmin (no shuffle to assign); the
+    candidate join is cell-local with the probe side broadcast; cells
+    are disjoint so no pair dedup is needed (unlike multi-table LSH).
+    Expected candidate fraction ≈ nprobe/nlist with data-adaptive
+    cells — on clustered corpora IVF beats data-oblivious hyperplanes
+    at equal cost."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, nlist, sample_n, seed=seed)
+    scores = _cluster_scores(F.col(vec_col), cents)
+    c = parallelize_input(corpus).select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("vc"),
+        vector_norm(F.col(vec_col)).alias("nc"),
+        F.array_min(scores).getField("c").alias("cell"),
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(scores), 1, nprobe), lambda st: st.getField("c")
+    )
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("vp"),
+            vector_norm(F.col(vec_col)).alias("np"),
+            F.explode(probe_cells).alias("cell"),
+        )
+    )
+    cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
+    return (
+        c.join(p, ["cell"])
+        .filter(F.col("probe_id") != F.col("nn_id"))
+        .select("probe_id", "nn_id", cos.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "nn_id", F.round(F.col("cos_raw"), 4).alias("cos"), "rnk")
+    )
+
+
 def _probe_buckets(sig, n_planes: int, probe_dist: int):
     """Bucket ids within Hamming distance ``probe_dist`` of ``sig`` —
     classic multi-probe LSH (query nearby buckets instead of building

@@ -29,6 +29,23 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words(c))).cast("long")
 
 
+# BPE-style pretokenizer (GPT-2-family shape, ASCII-simplified so Java
+# regex and RE2/DuckDB agree token-for-token): lowercase runs,
+# capitalized runs, 1-3 digit groups (BPE splits long numbers), single
+# punctuation marks
+BPE_PRETOKEN_RE = r"[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish token count — the pretokenizer pass of a GPT-2-style
+    tokenizer as a pure JVM regex scan. The count (not the pieces) is
+    what a training pipeline budgets with: sequence packing, per-doc
+    token quotas, corpus token accounting at 100 TB — one scan, no
+    Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
+
+
 def _count_in_list(col: Column | str, vocab: tuple[str, ...]) -> Column:
     """How many tokens of ``col`` are in ``vocab`` — via array_intersect
     on distinct tokens? No: multiplicity matters for ratios; use

@@ -246,6 +246,36 @@ class PlanEncoder:
         mat = np.stack([self.encode_node(n) for n in nodes]) if nodes else np.zeros((0, self.width))
         return ids, mat
 
+    def encode_tree(self, root: PlanNode) -> tuple[np.ndarray, np.ndarray, list[list[int]]]:
+        """→ (ids, mat, children) with the TREE preserved for
+        structure-recursive models (TreeLSTM, reference
+        ``treelstm/v1/childsum.py:7``). ``children[i]`` lists the
+        kept-node indices of node i's children; nodes outside
+        ``NODE_TYPES`` are spliced out (their children attach to the
+        nearest kept ancestor). Preorder indexing ⇒ every child index
+        > its parent's, so reverse iteration is a valid bottom-up
+        order."""
+        nodes: list[PlanNode] = []
+        children: list[list[int]] = []
+
+        def walk(n: PlanNode, parent_idx: int | None) -> None:
+            if n.kind in NODE_TYPES:
+                idx = len(nodes)
+                nodes.append(n)
+                children.append([])
+                if parent_idx is not None:
+                    children[parent_idx].append(idx)
+                my = idx
+            else:
+                my = parent_idx
+            for c in n.children:
+                walk(c, my)
+
+        walk(root, None)
+        ids = np.array([NODE_TYPES.index(n.kind) for n in nodes], dtype=np.int64)
+        mat = np.stack([self.encode_node(n) for n in nodes]) if nodes else np.zeros((0, self.width))
+        return ids, mat, children
+
 
 def _strip_name(relation: str) -> str:
     m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", relation.replace("`", ""))

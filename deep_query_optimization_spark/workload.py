@@ -778,6 +778,19 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+@register("sim_topk_ivf", None)  # approximate: rows-only; recall vs exact in pytest
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse
+    quantizer on a bounded sample, cell-local candidate join. The
+    centroid-bucketed alternative to hyperplane LSH — data-adaptive,
+    wins on clustered corpora (recall ≥0.9 pinned in pytest there;
+    majority-recall on the adversarially-random driver embeddings)."""
+    from deep_query_optimization_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nlist=8, nprobe=4)
+
+
 @register("text_quality", _orc.text_quality())
 def q_text_quality(spark, sf_dir):
     from deep_query_optimization_spark.operators.text import quality_features
@@ -797,6 +810,24 @@ def q_text_fingerprint(spark, sf_dir):
     from deep_query_optimization_spark.operators.text import fingerprint
 
     return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("text_token_counts", _orc.text_token_counts())
+def q_text_token_counts(spark, sf_dir):
+    """Token accounting: whitespace tokens + BPE-pretokenizer subword
+    tokens (operators/text.py) — the per-doc numbers a training
+    pipeline budgets sequence packing and token quotas with."""
+    from deep_query_optimization_spark.operators.text import subword_token_count, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    ws = token_count(F.col("text"))
+    sub = subword_token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        sub.alias("n_subword_tokens"),
+        F.round(sub / F.greatest(ws, F.lit(1)), 6).alias("subword_ratio"),
+    )
 
 
 @register("multimodal_meta", _orc.multimodal_meta())

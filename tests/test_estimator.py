@@ -205,6 +205,115 @@ def test_gru_save_load_roundtrip(tmp_path):
     assert m2.forward(ids, mat) == pytest.approx(before)
 
 
+def test_treelstm_gradients_match_finite_differences():
+    """Structural backprop through the child-sum TreeLSTM (incl. the
+    forest case from spliced non-vocabulary roots) must match numerical
+    gradients."""
+    from deep_query_optimization_spark.estimator.model import TreeLSTMCostModel, smooth_l1
+
+    rng = np.random.default_rng(0)
+    m = TreeLSTMCostModel(in_dim=7, embed_dim=5, hidden=4, seed=1)
+    plans = [
+        (np.array([3, 2, 0, 0, 1]), rng.normal(size=(5, 7)), [[1, 4], [2, 3], [], [], []]),
+        (np.array([1, 0, 2, 0]), rng.normal(size=(4, 7)), [[1], [], [3], []]),  # two roots
+    ]
+    targets = [0.7, -1.3]
+    grads = {k: np.zeros_like(v) for k, v in m.P.items()}
+    for (ids, mat, ch), y in zip(plans, targets):
+        predv, fwd = m._forward(ids, mat, ch)
+        _, dpred = smooth_l1(np.array([predv - y]))
+        m._backward(ids, mat, ch, fwd, float(dpred[0]) / len(plans), grads)
+
+    def loss_fn():
+        total = 0.0
+        for (ids, mat, ch), y in zip(plans, targets):
+            loss, _ = smooth_l1(np.array([m.forward(ids, mat, ch) - y]))
+            total += float(loss[0])
+        return total / len(plans)
+
+    eps = 1e-6
+    for name in ("Wi", "Wf", "Uf", "Uu", "bo", "W1", "We0", "Ui"):
+        p = m.P[name]
+        idx = tuple(np.unravel_index(np.argmax(np.abs(grads[name])), p.shape))
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp = loss_fn()
+        p[idx] = orig - eps
+        lm = loss_fn()
+        p[idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = grads[name][idx]
+        rel = abs(num - ana) / max(1e-8, abs(num) + abs(ana))
+        assert rel < 1e-5, f"{name}: analytic {ana} vs numeric {num}"
+
+
+def test_treelstm_learns_structure_sensitive_cost():
+    """Cost encoded in tree STRUCTURE under a fixed preorder type
+    sequence: the same [join join rel rel rel] preorder attaches the
+    last relation either to the root (bushy) or the inner join (deep).
+    Traversal models see identical sequences; the TreeLSTM must
+    separate the shapes."""
+    from deep_query_optimization_spark.estimator.model import TreeLSTMCostModel
+
+    rng = np.random.default_rng(5)
+    width = 10
+    plans, runtimes = [], []
+    for _ in range(80):
+        bushy = bool(rng.integers(0, 2))
+        ids = np.array([2, 2, 0, 0, 0], dtype=np.int64)
+        mat = rng.normal(0, 0.05, (5, width))
+        children = [[1, 4], [2, 3], [], [], []] if bushy else [[1], [2, 3, 4], [], [], []]
+        plans.append((ids, mat, children))
+        runtimes.append(4.0 if bushy else 0.25)
+    m = TreeLSTMCostModel(in_dim=width, embed_dim=10, hidden=10, seed=0)
+    m.fit(plans, runtimes, epochs=200, lr=5e-3)
+    targets = np.array([math.log2(t) for t in runtimes])
+    corr = np.corrcoef(m.predict(plans), targets)[0, 1]
+    assert corr > 0.9, f"TreeLSTM corr {corr:.3f}"
+
+
+def test_treelstm_save_load_roundtrip(tmp_path):
+    from deep_query_optimization_spark.estimator.model import TreeLSTMCostModel
+
+    m = TreeLSTMCostModel(in_dim=8, embed_dim=4, hidden=4, seed=0)
+    ids = np.array([0, 1, 2], dtype=np.int64)
+    mat = np.ones((3, 8))
+    children = [[1, 2], [], []]
+    before = m.forward(ids, mat, children)
+    p = tmp_path / "t.json"
+    m.save(str(p))
+    m2 = TreeLSTMCostModel.load(str(p))
+    assert m2.forward(ids, mat, children) == pytest.approx(before)
+
+
+def test_encode_tree_splices_and_preorders(spark, tables):
+    """encode_tree keeps the operator tree: children indices exceed
+    parents' (preorder), spliced nodes attach grandchildren upward, and
+    ids/mat match encode_plan's preorder filtering."""
+    from pathlib import Path
+
+    from deep_query_optimization_spark.catalog import Database
+    from deep_query_optimization_spark.plans import PlanEncoder
+    from deep_query_optimization_spark.plans.parser import parse_optimized_plan
+
+    root = Path(__file__).resolve().parent.parent
+    db = Database.load(str(root / "deep_query_optimization_spark/snapshots/sf0.01_schema.json"))
+    enc = PlanEncoder(db)
+    df = spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS c FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o_totalprice > 1000 GROUP BY o_orderpriority"
+    )
+    tree = parse_optimized_plan(df)
+    ids, mat, children = enc.encode_tree(tree)
+    ids2, mat2 = enc.encode_plan(tree)
+    assert np.array_equal(ids, ids2) and np.allclose(mat, mat2)
+    for parent, kids in enumerate(children):
+        for k in kids:
+            assert k > parent
+    n_children = sum(len(k) for k in children)
+    assert n_children == len(ids) - 1  # single kept root, spanning tree
+
+
 def test_mlp_save_load_roundtrip(tmp_path):
     model = MLPCostModel(in_dim=8, embed_dim=4, hidden=4, seed=0)
     ids = np.array([0, 1], dtype=np.int64)

@@ -34,6 +34,7 @@ from deep_query_optimization_spark.estimator.model import (  # noqa: E402
     GRUCostModel,
     LinearCostModel,
     MLPCostModel,
+    TreeLSTMCostModel,
 )
 from deep_query_optimization_spark.generator.partitioner import Log2Partitioner  # noqa: E402
 from deep_query_optimization_spark.session import get_spark  # noqa: E402
@@ -67,10 +68,16 @@ def main() -> None:
     # partitioner so balancing has something to balance (SURVEY §7 risk 2);
     # the balance loop's broaden mutations are what reach the slow buckets
     t0 = time.time()
-    ds = engine.generate_workload(
-        n, seed=42, partitioner=Log2Partitioner(-3, 2), time_budget_s=420
-    )
-    ds.save(str(out / "workload.csv"))
+    if (out / "workload.csv").exists():
+        from deep_query_optimization_spark.estimator import QueriesDataset
+
+        ds = QueriesDataset.load(str(out / "workload.csv"))
+        print(f"reusing existing workload: {len(ds.rows)} rows")
+    else:
+        ds = engine.generate_workload(
+            n, seed=42, partitioner=Log2Partitioner(-3, 2), time_budget_s=420
+        )
+        ds.save(str(out / "workload.csv"))
     hist: dict[int, int] = {}
     for b in ds.buckets():
         hist[b] = hist.get(b, 0) + 1
@@ -83,6 +90,8 @@ def main() -> None:
     train, test = ds.stratified_split(0.2, seed=0)
     enc_train = [engine.encode_sql(sql) for sql, _, _ in train.rows]
     enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
+    tree_train = [engine.encode_sql_tree(sql) for sql, _, _ in train.rows]
+    tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
     rt_train = [r for _, r, _ in train.rows]
 
     report: dict = {"n": len(ds.rows), "bucket_histogram": occupied, "models": {}}
@@ -90,16 +99,18 @@ def main() -> None:
         "linear": LinearCostModel(),
         "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
         "gru": GRUCostModel(in_dim=engine.encoder.width, seed=0),
+        "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
     }
     for fam, model in families.items():
         t0 = time.time()
+        tr, te = (tree_train, tree_test) if fam == "treelstm" else (enc_train, enc_test)
         if fam == "linear":
-            model.fit(enc_train, rt_train)
+            model.fit(tr, rt_train)
         else:
-            model.fit(enc_train, rt_train, epochs=150, lr=2e-3)
+            model.fit(tr, rt_train, epochs=150, lr=2e-3)
         res = {
-            "train": evaluate(model, enc_train, train.rows),
-            "test": evaluate(model, enc_test, test.rows),
+            "train": evaluate(model, tr, train.rows),
+            "test": evaluate(model, te, test.rows),
             "fit_seconds": round(time.time() - t0, 1),
         }
         report["models"][fam] = res
