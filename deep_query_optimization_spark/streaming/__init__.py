@@ -35,11 +35,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def events_file_stream(spark: SparkSession, directory: str) -> DataFrame:
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet files (new files appear →
-    new micro-batches; at scale this is the landing-zone pattern)."""
+    new micro-batches; at scale this is the landing-zone pattern).
+    Accepts a directory or a single ``.parquet`` file (the file source
+    requires a directory, so a file path becomes parent dir +
+    ``pathGlobFilter``)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(directory)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
 

@@ -778,6 +778,32 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_hourly_rollup",
+    """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+              event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+              ROUND(SUM(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_hourly_rollup(spark, sf_dir):
+    """Structured Streaming run end-to-end INSIDE the correctness gate:
+    the events parquet streams through a watermarked tumbling-window
+    rollup (streaming/__init__.py) drained with an availableNow
+    trigger into a memory sink, and the drained table is hash-compared
+    against the BATCH oracle — the strongest form of the
+    batch-equivalence claim (driver-checked, not just pytest)."""
+    import tempfile
+    import uuid
+
+    from deep_query_optimization_spark.streaming import events_file_stream, hourly_rollup, run_available_now
+
+    stream = hourly_rollup(events_file_stream(spark, f"{sf_dir}/events.parquet"))
+    name = f"gate_stream_hr_{uuid.uuid4().hex[:8]}"
+    return run_available_now(
+        stream, name, tempfile.mkdtemp(prefix="dqo_stream_ckpt_"), output_mode="complete"
+    )
+
+
 @register("sim_topk_ivf", None)  # approximate: rows-only; recall vs exact in pytest
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse
