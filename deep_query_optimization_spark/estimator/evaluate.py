@@ -109,10 +109,11 @@ def fit_with_checkpoints(
 
 
 def load_checkpoint(path: str):
-    """Sniff the blob format: TreeLSTM blobs are tagged ``kind``, GRU
-    checkpoints carry a ``params`` dict, MLP checkpoints carry per-type
-    embedding matrices."""
+    """Sniff the blob format: TreeLSTM/CNN blobs are tagged ``kind``,
+    GRU checkpoints carry a ``params`` dict, MLP checkpoints carry
+    per-type embedding matrices."""
     from deep_query_optimization_spark.estimator.model import (
+        CNNCostModel,
         GRUCostModel,
         MLPCostModel,
         TreeLSTMCostModel,
@@ -120,8 +121,11 @@ def load_checkpoint(path: str):
 
     with open(path) as f:
         blob = json.load(f)
-    if blob.get("kind") == "treelstm":
+    kind = blob.get("kind")
+    if kind == "treelstm":
         return TreeLSTMCostModel.load(path)
+    if kind == "cnn":
+        return CNNCostModel.load(path)
     return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
 
 

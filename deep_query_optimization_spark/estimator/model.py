@@ -542,6 +542,164 @@ class TreeLSTMCostModel:
         return m
 
 
+class CNNCostModel:
+    """1-D convolutional cost model over the plan's node-vector
+    sequence (reference RelCNN, ``dqo/estimator/relcnn/v1/model.py:
+    51-76``) — numpy, manual backprop + Adam. Per-node-type embeddings
+    → parallel conv banks of widths ``widths`` (ReLU) → max-pool over
+    time → ReLU head → log2(runtime). The convolutional view captures
+    local operator motifs (scan→filter→join windows) that pooled MLPs
+    lose; sequences shorter than a filter width are zero-padded."""
+
+    def __init__(
+        self,
+        in_dim: int,
+        embed_dim: int = 32,
+        n_filters: int = 16,
+        widths: tuple[int, ...] = (2, 3),
+        hidden: int = 32,
+        seed: int = 0,
+    ) -> None:
+        rng = np.random.default_rng(seed)
+        self.in_dim, self.embed_dim = in_dim, embed_dim
+        self.n_filters, self.widths, self.hidden = n_filters, widths, hidden
+        self.P: dict[str, np.ndarray] = {}
+        for t in range(len(NODE_TYPES)):
+            self.P[f"We{t}"] = rng.normal(0, math.sqrt(2.0 / in_dim), (in_dim, embed_dim))
+            self.P[f"be{t}"] = np.zeros(embed_dim)
+        for w in widths:
+            self.P[f"K{w}"] = rng.normal(0, math.sqrt(2.0 / (w * embed_dim)), (w * embed_dim, n_filters))
+            self.P[f"kb{w}"] = np.zeros(n_filters)
+        feat = n_filters * len(widths)
+        self.P["W1"] = rng.normal(0, math.sqrt(2.0 / feat), (feat, hidden))
+        self.P["b1"] = np.zeros(hidden)
+        self.P["W2"] = rng.normal(0, math.sqrt(2.0 / hidden), (hidden, 1))
+        self.P["b2"] = np.zeros(1)
+        self._adam_state: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._adam_t = 0
+
+    def _embed(self, ids, mat):
+        pre = [mat[i] @ self.P[f"We{int(t)}"] + self.P[f"be{int(t)}"] for i, t in enumerate(ids)]
+        return pre, [np.maximum(e, 0) for e in pre]
+
+    def _forward(self, ids, mat):
+        pre, xs = self._embed(ids, mat)
+        max_w = max(self.widths)
+        X = np.stack(xs) if xs else np.zeros((0, self.embed_dim))
+        if X.shape[0] < max_w:  # zero-pad short plans
+            X = np.vstack([X, np.zeros((max_w - X.shape[0], self.embed_dim))])
+        pooled_parts, conv_caches = [], {}
+        for w in self.widths:
+            n_pos = X.shape[0] - w + 1
+            # windows: [n_pos, w*embed] — each row is a flattened window
+            win = np.stack([X[t : t + w].ravel() for t in range(n_pos)])
+            z_pre = win @ self.P[f"K{w}"] + self.P[f"kb{w}"]
+            z = np.maximum(z_pre, 0)
+            arg = z.argmax(axis=0)
+            pooled = z[arg, np.arange(self.n_filters)]
+            pooled_parts.append(pooled)
+            conv_caches[w] = (win, z_pre, arg)
+        feat = np.concatenate(pooled_parts)
+        h1_pre = feat @ self.P["W1"] + self.P["b1"]
+        h1 = np.maximum(h1_pre, 0)
+        predv = float((h1 @ self.P["W2"] + self.P["b2"])[0])
+        return predv, (pre, xs, X, conv_caches, feat, h1_pre, h1)
+
+    def forward(self, ids, mat) -> float:
+        return self._forward(ids, mat)[0]
+
+    def predict(self, plans) -> np.ndarray:
+        return np.array([self.forward(ids, mat) for ids, mat in plans])
+
+    def _backward(self, ids, mat, fwd, dpred, grads):
+        P = self.P
+        pre, xs, X, conv_caches, feat, h1_pre, h1 = fwd
+        grads["W2"] += np.outer(h1, dpred)
+        grads["b2"] += np.array([dpred])
+        dh1 = (P["W2"][:, 0] * dpred) * (h1_pre > 0)
+        grads["W1"] += np.outer(feat, dh1)
+        grads["b1"] += dh1
+        dfeat = P["W1"] @ dh1
+        dX = np.zeros_like(X)
+        for wi, w in enumerate(self.widths):
+            win, z_pre, arg = conv_caches[w]
+            dpool = dfeat[wi * self.n_filters : (wi + 1) * self.n_filters]
+            # route each filter's gradient through its argmax window
+            for f in range(self.n_filters):
+                t = int(arg[f])
+                if z_pre[t, f] <= 0:
+                    continue
+                g = dpool[f]
+                grads[f"K{w}"][:, f] += win[t] * g
+                grads[f"kb{w}"][f] += g
+                dX[t : t + w] += (P[f"K{w}"][:, f] * g).reshape(w, self.embed_dim)
+        for i, t in enumerate(ids):
+            de = dX[i] * (pre[i] > 0)
+            grads[f"We{int(t)}"] += np.outer(mat[i], de)
+            grads[f"be{int(t)}"] += de
+
+    def _adam(self, name: str, grad: np.ndarray, lr: float) -> None:
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        p = self.P[name]
+        m, v = self._adam_state.get(name, (np.zeros_like(p), np.zeros_like(p)))
+        m = beta1 * m + (1 - beta1) * grad
+        v = beta2 * v + (1 - beta2) * grad**2
+        self._adam_state[name] = (m, v)
+        p -= lr * (m / (1 - beta1**self._adam_t)) / (np.sqrt(v / (1 - beta2**self._adam_t)) + eps)
+
+    def train_step(self, plans, targets, lr: float = 1e-3, clip: float = 5.0) -> float:
+        self._adam_t += 1
+        grads = {k: np.zeros_like(v) for k, v in self.P.items()}
+        total = 0.0
+        n_samples = max(len(plans), 1)
+        for (ids, mat), y in zip(plans, targets):
+            predv, fwd = self._forward(ids, mat)
+            loss, dpred = smooth_l1(np.array([predv - y]))
+            total += float(loss[0])
+            self._backward(ids, mat, fwd, float(dpred[0]) / n_samples, grads)
+        gnorm = math.sqrt(sum(float((g**2).sum()) for g in grads.values()))
+        scale = min(1.0, clip / max(gnorm, 1e-12))
+        for name, g in grads.items():
+            self._adam(name, g * scale, lr)
+        return total / n_samples
+
+    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
+        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
+        losses = []
+        for e in range(epochs):
+            losses.append(self.train_step(plans, targets, lr))
+            if log_every and (e + 1) % log_every == 0:
+                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
+        return losses
+
+    def save(self, path: str) -> None:
+        blob = {
+            "kind": "cnn",
+            "in_dim": self.in_dim,
+            "embed_dim": self.embed_dim,
+            "n_filters": self.n_filters,
+            "widths": list(self.widths),
+            "hidden": self.hidden,
+            "params": {k: v.tolist() for k, v in self.P.items()},
+        }
+        with open(path, "w") as f:
+            json.dump(blob, f)
+
+    @classmethod
+    def load(cls, path: str) -> "CNNCostModel":
+        with open(path) as f:
+            blob = json.load(f)
+        m = cls(
+            in_dim=blob["in_dim"],
+            embed_dim=blob["embed_dim"],
+            n_filters=blob["n_filters"],
+            widths=tuple(blob["widths"]),
+            hidden=blob["hidden"],
+        )
+        m.P = {k: np.array(v) for k, v in blob["params"].items()}
+        return m
+
+
 def torch_available() -> bool:
     try:
         import torch  # noqa: F401

@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
 from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics  # noqa: E402
 from deep_query_optimization_spark.estimator.model import (  # noqa: E402
+    CNNCostModel,
     GRUCostModel,
     LinearCostModel,
     MLPCostModel,
@@ -99,6 +100,7 @@ def main() -> None:
         "linear": LinearCostModel(),
         "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
         "gru": GRUCostModel(in_dim=engine.encoder.width, seed=0),
+        "cnn": CNNCostModel(in_dim=engine.encoder.width, seed=0),
         "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
     }
     for fam, model in families.items():
