@@ -700,6 +700,36 @@ class CNNCostModel:
         return m
 
 
+def predict_udf(model):
+    """Arrow-batched distributed inference: score PRE-ENCODED plans
+    stored as DataFrame columns (``ids`` array<long>, ``mat``
+    array<array<double>>) with any trained cost model. The model ships
+    to executors in the UDF closure (pure numpy — small and
+    serializable); scoring a 10^9-row encoded-workload table is then
+    one scan with no driver involvement.
+
+        df.withColumn("pred_log2", predict_udf(model)("ids", "mat"))
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def score(ids_s, mat_s):
+        out = []
+        for ids, mat in zip(ids_s, mat_s):
+            ids_arr = np.asarray(ids, dtype=np.int64)
+            mat_arr = np.asarray([np.asarray(row, dtype=np.float64) for row in mat])
+            if mat_arr.ndim != 2:
+                mat_arr = mat_arr.reshape(len(ids_arr), -1)
+            out.append(model.forward(ids_arr, mat_arr))
+        return pd.Series(out)
+
+    # module has `from __future__ import annotations` (stringified
+    # hints) and pandas is function-local — give pandas_udf real
+    # annotation objects so it infers the scalar eval type
+    score.__annotations__ = {"ids_s": pd.Series, "mat_s": pd.Series, "return": pd.Series}
+    return pandas_udf(score, "double")
+
+
 def torch_available() -> bool:
     try:
         import torch  # noqa: F401

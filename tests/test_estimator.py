@@ -489,6 +489,31 @@ def test_checkpoint_compare_versions(tmp_path):
     assert "ckpt_00100" in table and "ckpt_00300" in table
 
 
+def test_predict_udf_matches_local_inference(spark):
+    """Distributed Arrow-batched scoring of pre-encoded plans equals
+    driver-local model.predict."""
+    from deep_query_optimization_spark.estimator.model import MLPCostModel, predict_udf
+
+    rng = np.random.default_rng(2)
+    model = MLPCostModel(in_dim=6, embed_dim=4, hidden=4, seed=0)
+    plans = []
+    rows = []
+    for i in range(12):
+        n = int(rng.integers(1, 5))
+        ids = rng.integers(0, 5, n).astype(np.int64)
+        mat = rng.normal(0, 0.5, (n, 6))
+        plans.append((ids, mat))
+        rows.append((i, [int(x) for x in ids], [[float(v) for v in r] for r in mat]))
+    df = spark.createDataFrame(rows, "qid long, ids array<long>, mat array<array<double>>")
+    got = {
+        r["qid"]: r["pred"]
+        for r in df.withColumn("pred", predict_udf(model)("ids", "mat")).collect()
+    }
+    want = model.predict(plans)
+    for i in range(12):
+        assert got[i] == pytest.approx(float(want[i]), rel=1e-9)
+
+
 def test_linear_baseline_learns_join_count():
     from deep_query_optimization_spark.estimator.model import LinearCostModel
 
