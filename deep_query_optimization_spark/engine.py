@@ -128,12 +128,34 @@ class DQOEngine:
         return self.encoder.encode_tree(parse_plan_json(plan_json))
 
     def train_estimator(
-        self, ds: QueriesDataset, epochs: int = 200, lr: float = 3e-3, seed: int = 0
+        self,
+        ds: QueriesDataset,
+        epochs: int = 200,
+        lr: float = 3e-3,
+        seed: int = 0,
+        family: str = "mlp",
     ) -> dict:
+        """Train one cost-model family ("mlp" | "gru" | "cnn" |
+        "treelstm") — the facade twin of tools/train_estimator.py's
+        side-by-side comparison."""
+        from deep_query_optimization_spark.estimator.model import (
+            CNNCostModel,
+            GRUCostModel,
+            TreeLSTMCostModel,
+        )
+
         train, test = ds.stratified_split(0.2, seed=seed)
-        enc_train = [self.encode_sql(sql) for sql, _, _ in train.rows]
-        enc_test = [self.encode_sql(sql) for sql, _, _ in test.rows]
-        self.model = MLPCostModel(in_dim=self.encoder.width, seed=seed)
+        encode = self.encode_sql_tree if family == "treelstm" else self.encode_sql
+        enc_train = [encode(sql) for sql, _, _ in train.rows]
+        enc_test = [encode(sql) for sql, _, _ in test.rows]
+        cls = {
+            "mlp": MLPCostModel,
+            "gru": GRUCostModel,
+            "cnn": CNNCostModel,
+            "treelstm": TreeLSTMCostModel,
+        }[family]
+        self.model = cls(in_dim=self.encoder.width, seed=seed)
+        self._model_family = family
         self.model.fit(enc_train, [r for _, r, _ in train.rows], epochs=epochs, lr=lr)
 
         def evaluate(plans, rows):
@@ -153,7 +175,12 @@ class DQOEngine:
         whole reason to exist, served from the live engine."""
         if self.model is None:
             raise RuntimeError("train_estimator first")
-        pred_log2 = self.model.predict([self.encode_sql(sql)])[0]
+        encode = (
+            self.encode_sql_tree
+            if getattr(self, "_model_family", "mlp") == "treelstm"
+            else self.encode_sql
+        )
+        pred_log2 = self.model.predict([encode(sql)])[0]
         return float(2.0 ** np.clip(pred_log2, -10, 20))
 
     def estimate_bucket(self, sql: str) -> int:

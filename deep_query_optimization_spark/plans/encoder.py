@@ -39,7 +39,14 @@ import numpy as np
 
 from deep_query_optimization_spark.catalog import Database, DataType
 from deep_query_optimization_spark.plans.parser import PlanNode
-from deep_query_optimization_spark.stats import ColumnStats, NumericStats, StringStats, estimate_size, selectivity
+from deep_query_optimization_spark.stats import (
+    ColumnStats,
+    NumericStats,
+    StringStats,
+    estimate_size,
+    like_selectivity,
+    selectivity,
+)
 
 TYPE_ORDER = (DataType.FLOAT, DataType.NUMBER, DataType.STRING, DataType.BOOL, DataType.TIME)
 NODE_TYPES = ("relation", "selection", "join", "projection", "aggregation", "other")
@@ -167,6 +174,15 @@ class PlanEncoder:
         if num is not None and ns is not None and ns.min is not None and ns.max is not None and ns.max > ns.min:
             v[off] = (num - ns.min) / (ns.max - ns.min)
             v[off + 1] = selectivity(st, op, num) if st else 0.5
+            v[off + 3] = 1.0
+        elif isinstance(value, str) and kind in (SIM, NSIM):
+            # LIKE-pattern selectivity from letter frequencies
+            # (reference encoder.py:121-148); mean string length from
+            # the column's stats when available
+            ss = st.values if st and isinstance(st.values, StringStats) else None
+            avg_len = float(ss.chars.mean) if ss and ss.chars.mean else 20.0
+            sel = like_selectivity(value, avg_len)
+            v[off + 1] = sel if kind == SIM else 1.0 - sel
             v[off + 3] = 1.0
         v[off + 2] = 1.0 if value is None else 0.0
         return v

@@ -288,6 +288,38 @@ def estimate_size(dt: DataType) -> int:
     }[dt]
 
 
+# English letter relative frequencies — the reference's LIKE-pattern
+# selectivity prior (``gerelt/v20/encoder.py:121-148,289-313``)
+LETTER_FREQ = {
+    "e": 0.127, "t": 0.091, "a": 0.082, "o": 0.075, "i": 0.070, "n": 0.067,
+    "s": 0.063, "h": 0.061, "r": 0.060, "d": 0.043, "l": 0.040, "c": 0.028,
+    "u": 0.028, "m": 0.024, "w": 0.024, "f": 0.022, "g": 0.020, "y": 0.020,
+    "p": 0.019, "b": 0.015, "v": 0.010, "k": 0.008, "j": 0.002, "x": 0.002,
+    "q": 0.001, "z": 0.001,
+}
+
+
+def like_selectivity(pattern: str, avg_len: float = 20.0) -> float:
+    """Estimated match probability of ``col LIKE pattern`` from letter
+    frequencies (reference ``encoder.py:121-148``): the literal chars'
+    joint frequency gives the per-position substring probability; a
+    floating pattern (%...%) may match at any of ~(avg_len - m + 1)
+    positions. Anchored patterns don't get the position multiplier."""
+    literal = [c for c in pattern if c not in ("%", "_")]
+    if not literal:
+        return 1.0
+    p_sub = 1.0
+    for ch in literal:
+        p_sub *= LETTER_FREQ.get(ch.lower(), 0.03)
+    floating = pattern.startswith("%") and pattern.endswith("%")
+    if floating:
+        positions = max(avg_len - len(literal) + 1.0, 1.0)
+        sel = 1.0 - (1.0 - p_sub) ** positions
+    else:
+        sel = p_sub
+    return float(min(1.0, max(1e-6, sel)))
+
+
 def selectivity(stats: ColumnStats, op: str, value: float) -> float:
     """Histogram-based selectivity of ``col op value`` — the estimator's
     operand-probability lookup (reference

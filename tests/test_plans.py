@@ -116,6 +116,18 @@ def test_selection_vector_selectivity(db):
     assert 0.4 < operand[1] < 0.6  # selectivity near half
 
 
+def test_selection_vector_like_selectivity(db):
+    """LIKE conditions get a letter-frequency selectivity operand
+    (reference encoder.py:289-313) instead of the 0-filled fallback."""
+    enc = PlanEncoder(db)
+    off = enc.COL_DIM + enc.REL_DIM + 22 + 5
+    common = enc.selection_vector("orders", "o_orderpriority", "LIKE", "%e%")
+    rare = enc.selection_vector("orders", "o_orderpriority", "LIKE", "%zzz%")
+    assert common[off + 5 + 1] > rare[off + 5 + 1] > 0
+    neg = enc.selection_vector("orders", "o_orderpriority", "NOT LIKE", "%zzz%")
+    assert neg[off + 5 + 1] > 0.9  # NOT LIKE of a rare pattern ≈ everything
+
+
 def test_encode_plan_end_to_end(spark, tables, db):
     enc = PlanEncoder(db)
     df = (

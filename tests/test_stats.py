@@ -109,6 +109,19 @@ def test_selectivity_monotonic(orders_stats):
     assert not math.isnan(selectivity(cs, "<", float("nan")) if False else 0.0)
 
 
+def test_like_selectivity_letter_frequency_model():
+    """Reference encoder.py:121-148: longer literals → rarer matches;
+    common letters match more often than rare ones; anchored patterns
+    are rarer than floating ones; bare wildcards match everything."""
+    from deep_query_optimization_spark.stats import like_selectivity
+
+    assert like_selectivity("%%") == 1.0
+    assert like_selectivity("%e%") > like_selectivity("%z%")
+    assert like_selectivity("%ab%") > like_selectivity("%abc%") > like_selectivity("%abcd%")
+    assert like_selectivity("abc") < like_selectivity("%abc%")  # anchored rarer
+    assert 1e-6 <= like_selectivity("%xyzq%") <= 1.0
+
+
 def test_events_table_stats(spark, sf_dir):
     from deep_query_optimization_spark.workload import t as load_t
 
