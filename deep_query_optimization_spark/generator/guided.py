@@ -50,6 +50,9 @@ class GuidedQueryGen:
         # joining another FACT table (small dims broadcast for free)
         self.builder = QueryBuilder(self.db, rng=self.rng, size_weighted=True)
         self.builder.max_relations = 5  # beyond ~5 it's planning time, not signal
+        # condition mutations pick by estimated selectivity (histogram
+        # stats), so each step moves the runtime as far as possible
+        self.builder.selectivity_aware = True
         self.steps = 0
 
     def randomize_initial(self) -> None:

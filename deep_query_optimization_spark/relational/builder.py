@@ -79,6 +79,13 @@ class QueryBuilder:
         # optional cap on relations per query: joins beyond ~5 relations
         # mostly add optimizer-planning time, not informative runtime
         self.max_relations: int | None = None
+        # selectivity-aware condition mutations (guided generation):
+        # add_condition samples k candidates and keeps the most
+        # RESTRICTIVE (narrowing wants the biggest runtime drop);
+        # remove_condition drops the most restrictive (broadening wants
+        # the biggest runtime rise). Estimates come from the histogram
+        # stats — no query execution.
+        self.selectivity_aware = False
         self._undo: list[Query] = []
 
     def _table_weight(self, name: str) -> float:
@@ -144,17 +151,28 @@ class QueryBuilder:
         self.query.remove_projection(self.rng.choice(sorted(self.query.projections)))
         return True
 
-    def add_condition(self) -> bool:
+    def _one_condition(self):
         if not self.query.relations:
-            return False
+            return None
         rel = self.rng.choice(sorted(self.query.relations))
         col = self._random_column(rel)
         if col is None:
-            return False
+            return None
         stats = self.db[rel.name][col.column].stats
-        cond = self.condition_factory(col, stats, self.rng)
-        if cond is None:
-            return False
+        return self.condition_factory(col, stats, self.rng)
+
+    def add_condition(self) -> bool:
+        if self.selectivity_aware:
+            from deep_query_optimization_spark.generator.conditions import condition_selectivity
+
+            cands = [c for c in (self._one_condition() for _ in range(4)) if c is not None]
+            if not cands:
+                return False
+            cond = min(cands, key=lambda c: condition_selectivity(self.db, c))
+        else:
+            cond = self._one_condition()
+            if cond is None:
+                return False
         self.checkpoint()
         self.query.add_condition(cond)
         return True
@@ -164,7 +182,13 @@ class QueryBuilder:
             return False
         self.checkpoint()
         conds = sorted(self.query.conditions, key=lambda c: (c.column, c.op, str(c.value)))
-        self.query.remove_condition(self.rng.choice(conds))
+        if self.selectivity_aware:
+            from deep_query_optimization_spark.generator.conditions import condition_selectivity
+
+            pick = min(conds, key=lambda c: condition_selectivity(self.db, c))
+        else:
+            pick = self.rng.choice(conds)
+        self.query.remove_condition(pick)
         return True
 
     def add_relation(self) -> bool:

@@ -117,6 +117,54 @@ def test_balanced_gen_rows_correctly_labeled(db):
     assert not mislabeled, f"{len(mislabeled)}/25 rows mislabeled"
 
 
+def test_condition_selectivity_estimates(db):
+    """Histogram-based per-condition selectivity drives guided
+    mutations: range conditions order by value, LIKE by pattern
+    rarity, null checks by null fraction."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.generator.conditions import condition_selectivity
+    from deep_query_optimization_spark.relational.models import ColumnRef, Condition, TableRef
+
+    o = TableRef("orders")
+    price = ColumnRef(o, "o_totalprice", DataType.FLOAT)
+    ns = db["orders"]["o_totalprice"].stats.values
+    low = Condition(price, "<", ns.min + (ns.max - ns.min) * 0.1)
+    high = Condition(price, "<", ns.min + (ns.max - ns.min) * 0.9)
+    assert condition_selectivity(db, low) < condition_selectivity(db, high)
+
+    pri = ColumnRef(o, "o_orderpriority", DataType.STRING)
+    assert condition_selectivity(db, Condition(pri, "LIKE", "%e%")) > condition_selectivity(
+        db, Condition(pri, "LIKE", "%qzx%")
+    )
+    assert condition_selectivity(db, Condition(pri, "IS NOT NULL")) >= 0.9
+
+
+def test_selectivity_aware_mutations(db):
+    """With selectivity_aware ON, remove_condition drops the most
+    restrictive predicate — the broadening move with the largest
+    expected runtime increase."""
+    import random
+
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.generator.conditions import condition_selectivity
+    from deep_query_optimization_spark.relational.builder import QueryBuilder
+    from deep_query_optimization_spark.relational.models import ColumnRef, Condition, Projection, TableRef
+
+    o = TableRef("orders")
+    price = ColumnRef(o, "o_totalprice", DataType.FLOAT)
+    ns = db["orders"]["o_totalprice"].stats.values
+    tight = Condition(price, "<", ns.min + (ns.max - ns.min) * 0.05)
+    loose = Condition(price, ">", ns.min + (ns.max - ns.min) * 0.05)
+    b = QueryBuilder(db, rng=random.Random(0))
+    b.selectivity_aware = True
+    b.query.add_projection(Projection(ColumnRef(o, "o_orderkey", DataType.NUMBER)))
+    b.query.add_condition(tight)
+    b.query.add_condition(loose)
+    assert condition_selectivity(db, tight) < condition_selectivity(db, loose)
+    assert b.remove_condition()
+    assert tight not in b.query.conditions and loose in b.query.conditions
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("DQO_SLOW"),
     reason="live sf0.1 bucket-fill integration (minutes); set DQO_SLOW=1",
