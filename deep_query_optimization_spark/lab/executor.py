@@ -89,14 +89,28 @@ class SparkQueryRunner:
     group_prefix: str = "dqo-lab"
 
     def _run_timed(self, df: DataFrame) -> float:
+        """Timed noop-sink run. A query canceled by the watchdog
+        RETURNS its elapsed wall (a right-censored label at the cap)
+        instead of raising — a workload-generation loop must survive
+        the slow queries it deliberately goes looking for."""
         sc = self.spark.sparkContext
         group = f"{self.group_prefix}-{id(df)}-{time.monotonic_ns()}"
         sc.setJobGroup(group, "dqo lab timed run", interruptOnCancel=True)
-        timer = threading.Timer(self.timeout_s, lambda: sc.cancelJobGroup(group))
+        fired = threading.Event()
+
+        def cancel() -> None:
+            fired.set()
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(self.timeout_s, cancel)
         timer.start()
         t0 = time.perf_counter()
         try:
             df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            if fired.is_set():
+                return time.perf_counter() - t0
+            raise
         finally:
             timer.cancel()
             sc.setJobGroup("", "")

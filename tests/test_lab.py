@@ -112,3 +112,17 @@ def test_runner_merged_range_executes(spark, tables):
     q.add_condition(Condition(ColumnRef(li, "l_quantity", DataType.FLOAT), ">", 10.0))
     q.add_condition(Condition(ColumnRef(li, "l_quantity", DataType.FLOAT), ">", 20.0))
     assert runner.time_query(q) > 0
+
+
+def test_timeout_returns_censored_runtime(spark, tables):
+    """A query canceled by the watchdog returns its elapsed wall (a
+    right-censored label at the cap) instead of raising — workload
+    generation must survive the slow queries it goes looking for."""
+    runner = SparkQueryRunner(spark, clear_cache=False, timeout_s=1.0)
+    rt = runner.time(
+        "SELECT MIN(a.l_quantity * b.l_quantity * c.l_quantity) "
+        "FROM lineitem a, lineitem b, lineitem c"
+    )
+    assert rt >= 1.0
+    # the session must remain usable after the cancellation
+    assert runner.time("SELECT COUNT(*) AS c FROM orders") > 0
