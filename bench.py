@@ -36,8 +36,19 @@ def main() -> None:
 
     # warm-up: JIT + codegen + parquet footer caches + Python workers
     # (the first mapInPandas otherwise pays worker-spawn inside a
-    # measured query)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # measured query). Warm the JVM paths the workload exercises —
+    # scan, shuffle agg, broadcast join, window — NOT the data results.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.count()
+    li.groupBy("l_returnflag").count().collect()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li.join(F.broadcast(ords.limit(1000)), li.l_orderkey == ords.o_orderkey).count()
+    spark.range(1000).withColumn(
+        "r", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    ).count()
     import pandas as pd  # noqa: F401
 
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
