@@ -278,19 +278,22 @@ def hyperplane_lsh_topk(
         ).select("probe_id", "vp", "np", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
 
-    # dedup candidate pairs across tables/probes BEFORE scoring: the
-    # cosine is the expensive per-pair expression at high dim
-    cand = (
+    # score in the map stage, dedup after: a pair found by several
+    # tables computes its (cheap, 64-d) cosine up to L times, but the
+    # dedup shuffle then carries ONE double per pair instead of two
+    # full vectors — at scale the shuffle bytes dominate the redundant
+    # arithmetic
+    cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
+    pairs = (
         c_idx.join(p_idx, ["tbl", "bucket"])
         .filter(F.col("probe_id") != F.col("nn_id"))
+        .select("probe_id", "nn_id", cos.alias("cos_dup"))
         .groupBy("probe_id", "nn_id")
-        .agg(F.first("vp").alias("vp"), F.first("np").alias("np"), F.first("vc").alias("vc"), F.first("nc").alias("nc"))
+        .agg(F.max("cos_dup").alias("cos_raw"))
     )
-    cos = cosine_from_norms(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_raw").desc(), F.col("nn_id"))
     return (
-        cand.select("probe_id", "nn_id", cos.alias("cos_raw"))
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "nn_id", F.round(F.col("cos_raw"), 4).alias("cos"), "rnk")
     )
