@@ -1038,6 +1038,29 @@ def q_rollup_grouping_sets(spark, sf_dir):
 
 
 @register(
+    "cube_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(SUM(l_extendedprice), 2) AS sum_price
+       FROM lineitem WHERE l_partkey < 500
+       GROUP BY CUBE(l_returnflag, l_linestatus)""",
+)
+def q_cube_grouping_sets(spark, sf_dir):
+    """CUBE: all 2^k grouping sets (§2.9 extension beside ROLLUP's
+    hierarchy prefixes) — the full cross-margin table in ONE pass."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+@register(
     "or_multi_flatten",
     """SELECT l_orderkey, l_linenumber FROM lineitem
        WHERE l_quantity < 3 OR l_quantity > 48 OR l_returnflag = 'N' AND l_tax > 0.07""",
