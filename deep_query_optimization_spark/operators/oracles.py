@@ -201,6 +201,27 @@ def text_fingerprint() -> str:
     return f"SELECT doc_id, {H64.format(s='text')} AS fp FROM documents"
 
 
+def text_quality_langid() -> str:
+    """Quality features + language ID in one per-doc row (join of the
+    two single-operator oracles on doc_id)."""
+    return f"""
+WITH q AS ({text_quality()}),
+l AS ({text_langid()})
+SELECT q.*, l.pred_lang, l.hits_de, l.hits_en, l.hits_es, l.hits_fr
+FROM q JOIN l USING (doc_id)
+""".strip()
+
+
+def text_fingerprint_tokens() -> str:
+    """Content fingerprint + token accounting in one per-doc row."""
+    return f"""
+WITH f AS ({text_fingerprint()}),
+c AS ({text_token_counts()})
+SELECT f.doc_id, f.fp, c.n_ws_tokens, c.n_subword_tokens, c.subword_ratio
+FROM f JOIN c USING (doc_id)
+""".strip()
+
+
 def text_token_counts() -> str:
     """Mirrors ``text.token_count`` + ``text.subword_token_count``
     (same regex — ASCII-simplified so Java regex and DuckDB's RE2

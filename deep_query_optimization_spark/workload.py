@@ -81,20 +81,29 @@ def q_scan_filter_project(spark, sf_dir):
 
 
 @register(
-    "filter_compare_ops",
-    """SELECT l_orderkey, l_linenumber FROM lineitem
+    "filter_compare_between",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
        WHERE l_discount >= 0.05 AND l_tax < 0.04
-         AND l_linenumber != 3 AND l_returnflag = 'R'""",
+         AND l_linenumber != 3 AND l_returnflag = 'R'
+         AND l_extendedprice > 1000
+         AND l_quantity BETWEEN 10 AND 20
+         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'""",
 )
-def q_filter_compare_ops(spark, sf_dir):
-    """All six comparison operators of the grammar (``ast.py:387-404``)."""
+def q_filter_compare_between(spark, sf_dir):
+    """All six comparison operators of the grammar (``ast.py:387-404``)
+    plus BETWEEN over numbers and timestamps (``ast.py:330-331,354-358``;
+    rewritten to >= AND <= in ``p_predicates`` exactly as Spark does) —
+    one conjunctive predicate block, every leaf pushed into the scan."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_discount") >= 0.05)
         & (F.col("l_tax") < 0.04)
         & (F.col("l_linenumber") != 3)
         & (F.col("l_returnflag") == "R")
-    ).select("l_orderkey", "l_linenumber")
+        & (F.col("l_extendedprice") > 1000)
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_shipdate").between(F.lit("1996-01-01").cast("timestamp"), F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
 
 
 @register(
@@ -111,62 +120,42 @@ def q_filter_like(spark, sf_dir):
 
 
 @register(
-    "filter_between",
-    """SELECT l_orderkey, l_quantity FROM lineitem
-       WHERE l_quantity BETWEEN 10 AND 20
-         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'""",
+    "filter_in_null_bool",
+    """SELECT o_orderkey, o_orderpriority, (o_totalprice > 200000) AS is_big FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+         AND o_orderdate IS NOT NULL AND ((o_totalprice > 200000) = TRUE OR o_custkey < 10000)""",
 )
-def q_filter_between(spark, sf_dir):
-    """BETWEEN over numbers and timestamps (``ast.py:330-331,354-358``;
-    rewritten to >= AND <= in ``p_predicates`` exactly as Spark does)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.filter(
-        F.col("l_quantity").between(10, 20)
-        & F.col("l_shipdate").between(F.lit("1996-01-01").cast("timestamp"), F.lit("1997-01-01").cast("timestamp"))
-    ).select("l_orderkey", "l_quantity")
-
-
-@register(
-    "filter_in_list",
-    """SELECT o_orderkey, o_orderpriority FROM orders
-       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'""",
-)
-def q_filter_in_list(spark, sf_dir):
+def q_filter_in_null_bool(spark, sf_dir):
     """IN (value list) → ``Column.isin`` (``ast.py:332-348``,
-    ``MultiValueOperand`` in ``tree/parser.py:122-123``)."""
-    o = t(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH") & (F.col("o_orderstatus") == "F")).select(
-        "o_orderkey", "o_orderpriority"
-    )
-
-
-@register(
-    "filter_null_and_bool",
-    """SELECT o_orderkey, (o_totalprice > 200000) AS is_big FROM orders
-       WHERE o_orderdate IS NOT NULL AND ((o_totalprice > 200000) = TRUE OR o_custkey < 10)""",
-)
-def q_filter_null_and_bool(spark, sf_dir):
-    """IS [NOT] NULL and boolean-literal comparisons
-    (``ast.py:320-329,349-353``). The schema has no stored BOOL column,
-    so the boolean is derived — same shape the reference's BOOL
-    conditions take."""
+    ``MultiValueOperand`` in ``tree/parser.py:122-123``), IS [NOT] NULL
+    and boolean-literal comparisons (``ast.py:320-329,349-353``). The
+    schema has no stored BOOL column, so the boolean is derived — same
+    shape the reference's BOOL conditions take."""
     o = t(spark, sf_dir, "orders")
     is_big = F.col("o_totalprice") > 200000
-    return o.filter(F.col("o_orderdate").isNotNull() & ((is_big == F.lit(True)) | (F.col("o_custkey") < 10))).select(
-        "o_orderkey", is_big.alias("is_big")
-    )
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") == "F")
+        & F.col("o_orderdate").isNotNull()
+        & ((is_big == F.lit(True)) | (F.col("o_custkey") < 10000))
+    ).select("o_orderkey", "o_orderpriority", is_big.alias("is_big"))
 
 
 @register(
-    "arithmetic_projection",
+    "arithmetic_case_projection",
     """SELECT l_orderkey, l_linenumber,
               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
-              l_quantity + 5 AS qty_plus, l_extendedprice / 2 AS half_price
+              l_quantity + 5 AS qty_plus, l_extendedprice / 2 AS half_price,
+              CASE WHEN l_quantity < 2 THEN 'low'
+                   WHEN l_quantity < 4 THEN 'mid'
+                   ELSE 'high' END AS qty_band
        FROM lineitem WHERE l_quantity < 5""",
 )
-def q_arithmetic_projection(spark, sf_dir):
-    """Arithmetic ``+ - * /`` in expressions (``ast.py:296-305``).
-    Per-row IEEE arithmetic — bit-identical across engines, no rounding."""
+def q_arithmetic_case_projection(spark, sf_dir):
+    """Arithmetic ``+ - * /`` in expressions (``ast.py:296-305``) plus
+    CASE WHEN — reserved in the reference grammar (``ast.py:33-36``) but
+    never given a production; both executed for real here. Per-row IEEE
+    arithmetic — bit-identical across engines, no rounding."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_quantity") < 5).select(
         "l_orderkey",
@@ -174,25 +163,7 @@ def q_arithmetic_projection(spark, sf_dir):
         (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
         (F.col("l_quantity") + 5).alias("qty_plus"),
         (F.col("l_extendedprice") / 2).alias("half_price"),
-    )
-
-
-@register(
-    "case_when",
-    """SELECT l_orderkey, l_linenumber,
-              CASE WHEN l_quantity < 10 THEN 'low'
-                   WHEN l_quantity < 30 THEN 'mid'
-                   ELSE 'high' END AS qty_band
-       FROM lineitem WHERE l_partkey < 100""",
-)
-def q_case_when(spark, sf_dir):
-    """CASE WHEN — reserved in the reference grammar (``ast.py:33-36``)
-    but never given a production; implemented for real here."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_partkey") < 100).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(F.col("l_quantity") < 10, "low").when(F.col("l_quantity") < 30, "mid").otherwise("high").alias("qty_band"),
+        F.when(F.col("l_quantity") < 2, "low").when(F.col("l_quantity") < 4, "mid").otherwise("high").alias("qty_band"),
     )
 
 
@@ -253,17 +224,21 @@ def q_join_multiway_broadcast(spark, sf_dir):
 
 
 @register(
-    "join_theta",
-    """SELECT s.s_suppkey, n.n_nationkey FROM supplier s
-       JOIN nation n ON s.s_nationkey < n.n_regionkey""",
+    "join_theta_cross",
+    """SELECT s.s_suppkey, n.n_nationkey FROM supplier s, nation n
+       WHERE s.s_nationkey < n.n_regionkey""",
 )
-def q_join_theta(spark, sf_dir):
-    """Theta join (non-equi) — the reference parser accepts any
-    comparison between two columns (``tree/parser.py:204-205``).
-    Spark: BroadcastNestedLoopJoin; only sane when one side broadcasts."""
+def q_join_theta_cross(spark, sf_dir):
+    """Comma-list cross join (``ast.py:229-254``) restricted by a theta
+    (non-equi) comparison between two columns — the reference parser
+    accepts any comparison as a join condition (``tree/parser.py:204-205``),
+    and a comma cross-join + theta WHERE is exactly how its grammar
+    spells it. Spark: crossJoin + filter collapses to a
+    BroadcastNestedLoopJoin with the condition; only sane when one side
+    broadcasts."""
     s = t(spark, sf_dir, "supplier")
     n = F.broadcast(t(spark, sf_dir, "nation"))
-    return s.join(n, s.s_nationkey < n.n_regionkey).select("s_suppkey", "n_nationkey")
+    return s.crossJoin(n).filter(s.s_nationkey < n.n_regionkey).select("s_suppkey", "n_nationkey")
 
 
 @register(
@@ -306,18 +281,6 @@ def q_join_or_spanning(spark, sf_dir):
         .filter((F.col("c_acctbal") > 9000) | (F.col("o_totalprice") > 350000))
         .select("c_custkey", "o_orderkey")
     )
-
-
-@register(
-    "cross_join",
-    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
-       WHERE r.r_regionkey <> n.n_regionkey""",
-)
-def q_cross_join(spark, sf_dir):
-    """Comma-list cross join (``ast.py:229-254``)."""
-    r = t(spark, sf_dir, "region")
-    n = t(spark, sf_dir, "nation")
-    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select("r_name", "n_name")
 
 
 @register(
@@ -432,24 +395,22 @@ def q_group_by_having(spark, sf_dir):
 
 
 @register(
-    "order_by_limit",
-    """SELECT o_orderkey, o_totalprice FROM orders
-       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "distinct_order_limit",
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+       ORDER BY c_mktsegment, c_nationkey DESC LIMIT 10""",
 )
-def q_order_by_limit(spark, sf_dir):
-    """ORDER BY/LIMIT (grammar-only in the reference, executed here).
-    Spark runs this as TakeOrderedAndProject — no global sort at scale."""
-    return t(spark, sf_dir, "orders").orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10).select(
-        "o_orderkey", "o_totalprice"
+def q_distinct_order_limit(spark, sf_dir):
+    """SELECT DISTINCT + ORDER BY/LIMIT (grammar-only in the reference,
+    ``ast.py:213-226``; executed here). Spark plans the sort+limit as
+    TakeOrderedAndProject over the distinct aggregate — no global sort
+    at scale."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", F.col("c_nationkey").desc())
+        .limit(10)
     )
-
-
-@register(
-    "distinct_projection",
-    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def q_distinct_projection(spark, sf_dir):
-    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
 @register(
@@ -474,30 +435,33 @@ def q_window_topk_per_group(spark, sf_dir):
 
 
 @register(
-    "set_ops",
-    """SELECT c_nationkey AS nk FROM customer
-       INTERSECT
-       SELECT s_nationkey AS nk FROM supplier""",
+    "set_ops_agg",
+    """SELECT op, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(nk) AS BIGINT) AS sum_nk FROM (
+         SELECT 'intersect' AS op, nk FROM
+           (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier) i
+         UNION ALL
+         SELECT 'except' AS op, nk FROM
+           (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier) e
+         UNION ALL
+         SELECT 'union_all' AS op, nk FROM
+           (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey AS nk FROM supplier) u
+         WHERE nk < 10
+       ) b GROUP BY op""",
 )
-def q_set_ops(spark, sf_dir):
-    """Set-operation extension (§2.9)."""
+def q_set_ops_agg(spark, sf_dir):
+    """Set-operation extension (§2.9): INTERSECT, EXCEPT, and UNION ALL
+    branches tagged and aggregated in one result — every set operator's
+    cardinality AND content (sum of keys) is hash-checked."""
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
-
-
-@register(
-    "union_all_agg",
-    """SELECT kind, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-         SELECT 'customer' AS kind, c_nationkey AS nk FROM customer
-         UNION ALL
-         SELECT 'supplier' AS kind, s_nationkey AS nk FROM supplier
-       ) u WHERE nk < 10 GROUP BY kind""",
-)
-def q_union_all_agg(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nk"))
-    s = t(spark, sf_dir, "supplier").select(F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nk"))
-    return c.unionAll(s).filter(F.col("nk") < 10).groupBy("kind").agg(F.count(F.lit(1)).alias("cnt"))
+    branches = (
+        c.intersect(s).select(F.lit("intersect").alias("op"), "nk")
+        .unionAll(c.subtract(s).select(F.lit("except").alias("op"), "nk"))
+        .unionAll(c.unionAll(s).filter(F.col("nk") < 10).select(F.lit("union_all").alias("op"), "nk"))
+    )
+    return branches.groupBy("op").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("nk").cast("long").alias("sum_nk")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -506,22 +470,32 @@ def q_union_all_agg(spark, sf_dir):
 
 
 @register(
-    "stats_numeric_moments",
-    """SELECT CAST(COUNT(*) AS BIGINT) AS total,
-              CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT) AS nulls,
-              CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS distinct_cnt,
-              MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v,
-              ROUND(AVG(l_extendedprice), 4) AS mean_v,
-              ROUND(VAR_SAMP(l_extendedprice), 2) AS var_v
-       FROM lineitem""",
+    "stats_moments_strings",
+    """SELECT * FROM
+       (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT) AS nulls,
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS distinct_cnt,
+               MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v,
+               ROUND(AVG(l_extendedprice), 4) AS mean_v,
+               ROUND(VAR_SAMP(l_extendedprice), 2) AS var_v
+        FROM lineitem) a,
+       (SELECT MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len,
+               ROUND(AVG(LENGTH(text)), 4) AS avg_len,
+               ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)), 4) AS avg_words
+        FROM documents) b""",
 )
-def q_stats_numeric_moments(spark, sf_dir):
-    """The reference's per-column stats pass (``postgres.py:189-226``):
-    total/nulls/distinct/min/max/mean/variance in ONE aggregation over
-    the table — one scan, partial aggregation, no extra shuffle."""
+def q_stats_moments_strings(spark, sf_dir):
+    """The reference's per-column stats passes in one gate row: numeric
+    total/nulls/distinct/min/max/mean/variance over lineitem
+    (``postgres.py:189-226``) cross-joined with the string char-length +
+    word-count stats over documents (``postgres.py:202-203,234-236``).
+    Each side is ONE aggregation pass — one scan, partial aggregation,
+    no extra shuffle; the two 1-row results combine with a broadcast
+    cross join. Word count via space counting — identical semantics in
+    both engines (documents are single-spaced)."""
     li = t(spark, sf_dir, "lineitem")
     c = F.col("l_extendedprice")
-    return li.agg(
+    num = li.agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(c.isNull(), 1)).alias("nulls"),
         F.countDistinct(c).alias("distinct_cnt"),
@@ -530,28 +504,16 @@ def q_stats_numeric_moments(spark, sf_dir):
         F.round(F.avg(c), 4).alias("mean_v"),
         F.round(F.var_samp(c), 2).alias("var_v"),
     )
-
-
-@register(
-    "stats_string_lengths",
-    """SELECT MIN(LENGTH(text)) AS min_len, MAX(LENGTH(text)) AS max_len,
-              ROUND(AVG(LENGTH(text)), 4) AS avg_len,
-              ROUND(AVG(CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS DOUBLE)), 4) AS avg_words
-       FROM documents""",
-)
-def q_stats_string_lengths(spark, sf_dir):
-    """String stats = char-length + word-count distributions
-    (``postgres.py:202-203,234-236``). Word count via space counting —
-    identical semantics in both engines (documents are single-spaced)."""
     d = t(spark, sf_dir, "documents")
     ln = F.length("text")
     words = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).cast("double")
-    return d.agg(
+    strs = d.agg(
         F.min(ln).alias("min_len"),
         F.max(ln).alias("max_len"),
         F.round(F.avg(ln), 4).alias("avg_len"),
         F.round(F.avg(words), 4).alias("avg_words"),
     )
+    return num.crossJoin(F.broadcast(strs))
 
 
 @register(
@@ -817,59 +779,51 @@ def q_sim_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nlist=8, nprobe=4)
 
 
-@register("text_quality", _orc.text_quality())
-def q_text_quality(spark, sf_dir):
-    from deep_query_optimization_spark.operators.text import quality_features
+@register("text_quality_langid", _orc.text_quality_langid())
+def q_text_quality_langid(spark, sf_dir):
+    """Quality scoring (length/punct/stopword heuristics) + language ID
+    (marker-stopword argmax) in one per-doc row (operators/text.py) —
+    the two per-document classifiers a corpus pipeline runs together in
+    one scan. Pure JVM column expressions, no UDFs."""
+    from deep_query_optimization_spark.operators.text import lang_id, quality_features
 
-    return quality_features(t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register("text_langid", _orc.text_langid())
-def q_text_langid(spark, sf_dir):
-    from deep_query_optimization_spark.operators.text import lang_id
-
-    return lang_id(t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@register("text_fingerprint", _orc.text_fingerprint())
-def q_text_fingerprint(spark, sf_dir):
-    from deep_query_optimization_spark.operators.text import fingerprint
-
-    return fingerprint(t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = t(spark, sf_dir, "documents")
+    q = quality_features(docs, "doc_id", "text")
+    l = lang_id(docs, "doc_id", "text")
+    return q.join(l, "doc_id")
 
 
-@register("text_token_counts", _orc.text_token_counts())
-def q_text_token_counts(spark, sf_dir):
-    """Token accounting: whitespace tokens + BPE-pretokenizer subword
-    tokens (operators/text.py) — the per-doc numbers a training
-    pipeline budgets sequence packing and token quotas with."""
-    from deep_query_optimization_spark.operators.text import subword_token_count, token_count
+@register("text_fingerprint_tokens", _orc.text_fingerprint_tokens())
+def q_text_fingerprint_tokens(spark, sf_dir):
+    """Content fingerprint (60-bit md5-prefix digest) + token
+    accounting: whitespace tokens + BPE-pretokenizer subword tokens
+    (operators/text.py) — the per-doc identity and budget numbers a
+    training pipeline packs sequences and enforces token quotas with."""
+    from deep_query_optimization_spark.operators.text import (
+        fingerprint,
+        subword_token_count,
+        token_count,
+    )
 
     docs = t(spark, sf_dir, "documents")
     ws = token_count(F.col("text"))
     sub = subword_token_count(F.col("text"))
-    return docs.select(
+    counts = docs.select(
         "doc_id",
         ws.alias("n_ws_tokens"),
         sub.alias("n_subword_tokens"),
         F.round(sub / F.greatest(ws, F.lit(1)), 6).alias("subword_ratio"),
     )
-
-
-@register("multimodal_meta", _orc.multimodal_meta())
-def q_multimodal_meta(spark, sf_dir):
-    """Metadata projection of the multimodal table — the pushdown-first
-    access path that never touches payload bytes."""
-    from deep_query_optimization_spark.operators.multimodal import attach_payload
-
-    mm = attach_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
-    return mm.select("doc_id", F.col("meta.modality").alias("modality"), F.col("meta.n_bytes").alias("n_bytes"))
+    return fingerprint(docs, "doc_id", "text").join(counts, "doc_id")
 
 
 @register("multimodal_decode", _orc.multimodal_decode())
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode (stub codec) — checks the whole
-    plumbing: payload bytes → Python worker → typed rows."""
+    plumbing: payload bytes → Python worker → typed rows. The returned
+    modality/n_bytes columns are the typed metadata of the multimodal
+    table (attach_payload); the metadata-only access path that never
+    touches payload bytes is pytest-covered in tests/test_operators.py."""
     from deep_query_optimization_spark.operators.multimodal import attach_payload, decode
 
     mm = attach_payload(t(spark, sf_dir, "documents"), "doc_id", "text")
