@@ -213,15 +213,20 @@ def from_struct(name: str, schema: T.StructType) -> Table:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one driver table.
 
-    The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    reader rejects; we read nanos as long and rebuild a micro-precision
-    timestamp column (floor division — deterministic)."""
+    Some testdata generations write events.ts as TIMESTAMP(NANOS)
+    parquet, which Spark's reader rejects; when that happens we read
+    nanos as long and rebuild a micro-precision timestamp column
+    (floor division — deterministic). Plain TIMESTAMP(MICROS) files
+    pass through untouched."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (driver parquet)
+        T.StructField("ts", T.TimestampType()),  # overridden per-file if nanos-as-long
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,16 +40,28 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     new micro-batches; at scale this is the landing-zone pattern).
     Accepts a directory or a single ``.parquet`` file (the file source
     requires a directory, so a file path becomes parent dir +
-    ``pathGlobFilter``)."""
+    ``pathGlobFilter``). A one-time batch footer probe decides whether
+    ``ts`` is TIMESTAMP(MICROS) (pass-through) or TIMESTAMP(NANOS)
+    (read nanos-as-long, rebuild micros)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    probe = spark.read.parquet(path).schema["ts"].dataType
+    nanos = isinstance(probe, T.LongType)
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if nanos and f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    reader = spark.readStream.schema(schema)
     if path.endswith(".parquet") and os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
