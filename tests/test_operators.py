@@ -246,7 +246,10 @@ def test_lsh_recall_at_5(emb):
     """Multi-table + multi-probe amplification: single-table recall on
     this corpus is ~0.02 (neighbors sit at cosine ≈0.37 — near-random,
     the hardest regime for hyperplane LSH); 3 tables × 6 planes ×
-    Hamming-distance-2 probing lifts recall@5 to ≥0.9."""
+    Hamming-distance-2 probing lifts recall@5 to ≥0.9 (at the price of
+    a near-exhaustive candidate set — sublinear retrieval in this
+    regime is impossible for any index; that workload belongs to the
+    exact tier)."""
     probes = emb.filter(F.col("vec_id") < 25)
     exact = {
         (r["probe_id"], r["nn_id"]) for r in similarity.cosine_topk(emb, probes, k=5).collect()
@@ -259,6 +262,93 @@ def test_lsh_recall_at_5(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """A unit-normalized corpus with planted high-similarity neighbors
+    (cosine ≈ 0.9) over uniform background — the regime embedding
+    retrieval actually runs in (normalized encoder outputs, near-dup
+    neighbors well above the bulk similarity). vec_id < 25 are probes;
+    each has 5 planted neighbors, so exact top-5 = the planted set."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 64
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    base = [unit(rng.normal(0, 1, dim)) for _ in range(1500)]
+    rows = [(i, [float(x) for x in base[i]]) for i in range(1500)]
+    nid = 1500
+    for p in range(25):
+        for _ in range(5):
+            nb = unit(base[p] + rng.normal(0, 0.0605, dim))  # cos ≈ 0.9 to probe
+            rows.append((nid, [float(x) for x in nb]))
+            nid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_sublinear_recall_and_candidate_fraction(clustered_emb):
+    """THE sublinearity pin for the gate parameterization (b=12, L=8,
+    d=1): recall@5 ≥ 0.9 AND candidate fraction ≤ 10 % simultaneously.
+    Theory: p ≈ 0.856 at cos 0.9 → per-table recall ≈ 0.47, total
+    1−(1−r)⁸ ≈ 0.99, probing 13/4096 buckets × 8 tables ≈ 2.5 % of
+    pairs. Measured here: recall 1.0, fraction ≈ 0.035."""
+    df = clustered_emb
+    probes = df.filter(F.col("vec_id") < 25)
+    n_corpus, n_probes = df.count(), 25
+    exact = {
+        (r["probe_id"], r["nn_id"]) for r in similarity.cosine_topk(df, probes, k=5).collect()
+    }
+    approx = {
+        (r["probe_id"], r["nn_id"])
+        for r in similarity.hyperplane_lsh_topk(
+            df, probes, k=5, n_planes=12, n_tables=8, probe_dist=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    frac = similarity.hyperplane_lsh_candidates(
+        df, probes, n_planes=12, n_tables=8, probe_dist=1
+    ).count() / (n_corpus * n_probes)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+    assert frac <= 0.10, f"candidate fraction = {frac:.3f}"
+
+
+def test_ivf_sublinear_recall_and_candidate_fraction(clustered_emb):
+    """IVF at the gate parameterization (nlist=64, nprobe=6): recall@5
+    ≥ 0.9 AND candidate fraction ≤ expected nprobe/nlist ≈ 9.4 % + ε.
+    Measured: recall 1.0, fraction ≈ 0.096."""
+    df = clustered_emb
+    probes = df.filter(F.col("vec_id") < 25)
+    n_corpus, n_probes = df.count(), 25
+    exact = {
+        (r["probe_id"], r["nn_id"]) for r in similarity.cosine_topk(df, probes, k=5).collect()
+    }
+    approx = {
+        (r["probe_id"], r["nn_id"])
+        for r in similarity.ivf_topk(df, probes, k=5, nlist=64, nprobe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    frac = similarity.ivf_candidates(df, probes, nlist=64, nprobe=6).count() / (
+        n_corpus * n_probes
+    )
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+    assert frac <= 0.12, f"candidate fraction = {frac:.3f}"
+
+
+def test_lsh_candidate_fraction_on_driver_corpus(emb):
+    """Candidate fraction is a property of the hash, not the data: on
+    the adversarial near-random driver embeddings the same gate
+    parameterization still probes ≤ 10 % of pairs (recall there is a
+    documented non-goal — see test_lsh_recall_at_5)."""
+    probes = emb.filter(F.col("vec_id") < 5)
+    n_corpus = emb.count()
+    frac = similarity.hyperplane_lsh_candidates(
+        emb, probes, n_planes=12, n_tables=8, probe_dist=1
+    ).count() / (n_corpus * 5)
+    assert frac <= 0.10, f"candidate fraction = {frac:.3f}"
 
 
 # -- text ---------------------------------------------------------------
