@@ -713,13 +713,42 @@ def predict_udf(model):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    import inspect
+
+    # structural models (TreeLSTM) take a third `children` argument
+    # (array<array<long>> adjacency in preorder); dispatch on the
+    # model's forward signature instead of TypeError-ing at executor
+    # time
+    needs_children = "children" in inspect.signature(model.forward).parameters
+
+    def _decode(ids, mat):
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        mat_arr = np.asarray([np.asarray(row, dtype=np.float64) for row in mat])
+        if mat_arr.ndim != 2:
+            mat_arr = mat_arr.reshape(len(ids_arr), -1)
+        return ids_arr, mat_arr
+
+    if needs_children:
+
+        def score(ids_s, mat_s, children_s):
+            out = []
+            for ids, mat, ch in zip(ids_s, mat_s, children_s):
+                ids_arr, mat_arr = _decode(ids, mat)
+                out.append(model.forward(ids_arr, mat_arr, [list(k) for k in ch]))
+            return pd.Series(out)
+
+        score.__annotations__ = {
+            "ids_s": pd.Series,
+            "mat_s": pd.Series,
+            "children_s": pd.Series,
+            "return": pd.Series,
+        }
+        return pandas_udf(score, "double")
+
     def score(ids_s, mat_s):
         out = []
         for ids, mat in zip(ids_s, mat_s):
-            ids_arr = np.asarray(ids, dtype=np.int64)
-            mat_arr = np.asarray([np.asarray(row, dtype=np.float64) for row in mat])
-            if mat_arr.ndim != 2:
-                mat_arr = mat_arr.reshape(len(ids_arr), -1)
+            ids_arr, mat_arr = _decode(ids, mat)
             out.append(model.forward(ids_arr, mat_arr))
         return pd.Series(out)
 

@@ -33,16 +33,34 @@ def parallelize_input(df, max_partitions: int | None = None):
 
     The partition-count probe uses ``inputFiles()`` (pure metadata)
     rather than ``df.rdd.getNumPartitions()`` — the RDD conversion
-    builds a whole extra physical plan per call. File count is the
-    right proxy for scan width: at scale files are >= split size so
-    partitions >= files; a non-file source (in-memory test data)
+    builds a whole extra physical plan per call. For FEW large files,
+    file count under-estimates scan width (the reader splits big files
+    at ``spark.sql.files.maxPartitionBytes``), so the probe also sums
+    file sizes (driver-side FileSystem metadata, cheap for few files)
+    and skips the repartition when the byte-derived split count already
+    reaches the target; a non-file source (in-memory test data)
     repartitions unconditionally, which is cheap at test sizes."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     if max_partitions is not None:
         target = min(target, max_partitions)
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+        if len(files) >= target:
             return df
+        if files:
+            sc = spark.sparkContext
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            max_bytes = jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+            if max(len(files), total // max(max_bytes, 1)) >= target:
+                return df
     except Exception:
         pass
     return df.repartition(target)
@@ -50,27 +68,33 @@ def parallelize_input(df, max_partitions: int | None = None):
 
 # Materialized-index caches, keyed per operator. Each new index for an
 # operator releases the previous one, so long-lived sessions (bench
-# loops, the driver's 59-query pass) hold at most one cached index per
-# operator instead of leaking one per call.
+# loops, the driver's 50-query pass) hold at most one cached index per
+# operator instead of leaking one per call. Guarded by a lock — Spark
+# apps routinely submit queries from several driver threads.
+import threading as _threading
+
 _INDEX_CACHES: dict[str, object] = {}
+_INDEX_LOCK = _threading.Lock()
 
 
 def cache_index(df, key: str):
     """persist() ``df`` as the materialized index for ``key``,
     unpersisting the previous index registered under the same key."""
-    prev = _INDEX_CACHES.pop(key, None)
-    if prev is not None:
-        prev.unpersist(blocking=False)
-    df.persist()
-    _INDEX_CACHES[key] = df
+    with _INDEX_LOCK:
+        prev = _INDEX_CACHES.pop(key, None)
+        if prev is not None:
+            prev.unpersist(blocking=False)
+        df.persist()
+        _INDEX_CACHES[key] = df
     return df
 
 
 def release_caches() -> None:
     """Unpersist every tracked index cache (end-of-run cleanup)."""
-    while _INDEX_CACHES:
-        _, df = _INDEX_CACHES.popitem()
-        df.unpersist(blocking=False)
+    with _INDEX_LOCK:
+        while _INDEX_CACHES:
+            _, df = _INDEX_CACHES.popitem()
+            df.unpersist(blocking=False)
 
 
 def hash64(col: Column | str) -> Column:

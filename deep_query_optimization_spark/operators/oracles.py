@@ -204,10 +204,11 @@ def text_fingerprint() -> str:
 def text_quality_langid() -> str:
     """Quality features + language ID in one per-doc row (join of the
     two single-operator oracles on doc_id)."""
+    hit_cols = ", ".join(f"l.hits_{lang}" for lang in sorted(LANG_MARKERS))
     return f"""
 WITH q AS ({text_quality()}),
 l AS ({text_langid()})
-SELECT q.*, l.pred_lang, l.hits_de, l.hits_en, l.hits_es, l.hits_fr
+SELECT q.*, l.pred_lang, {hit_cols}
 FROM q JOIN l USING (doc_id)
 """.strip()
 

@@ -155,9 +155,28 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint: str | None = None,
+    output_mode: str = "complete",
+    cleanup: bool = True,
+) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return
-    the result table (testing/backfill pattern)."""
+    the result table (testing/backfill pattern).
+
+    With ``cleanup`` (the default) the drained rows are detached from
+    the memory sink — the sink's temp view is dropped and the
+    checkpoint directory removed — so repeated gate/bench runs don't
+    accumulate memory-sink tables or temp checkpoints. Pass
+    ``cleanup=False`` to keep the live sink (incremental two-phase
+    tests resuming from the same checkpoint)."""
+    import shutil
+    import tempfile
+
+    own_checkpoint = checkpoint is None
+    if own_checkpoint:
+        checkpoint = tempfile.mkdtemp(prefix="dqo_stream_ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -168,4 +187,11 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, ou
     )
     q.awaitTermination(300)
     spark = stream_df.sparkSession
-    return spark.table(query_name)
+    sink = spark.table(query_name)
+    if not cleanup:
+        return sink
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(query_name)
+    if own_checkpoint:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

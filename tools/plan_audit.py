@@ -26,12 +26,12 @@ from deep_query_optimization_spark.workload import REGISTRY  # noqa: E402
 
 # queries where a nested-loop/cartesian strategy is the intended plan
 NON_EQUI_OK = {
-    "join_theta",  # theta join: BNLJ by design, broadcast side tiny
-    "cross_join",  # explicit cross join of two dim tables
+    "join_theta_cross",  # theta join + cross join: BNLJ by design, broadcast side tiny
     "dedup_embedding_cosine",  # bounded pair generator (id_a < id_b)
     "sim_topk_bruteforce",  # probe × corpus scoring, probe broadcast
     "sim_topk_lsh",  # bucket-join + in-bucket pairs
     "stats_histogram",  # scalar min/max broadcast crossJoin
+    "stats_moments_strings",  # 1-row x 1-row crossJoin of two scalar aggregates
     "join_self_alias",  # key-equal + '<' residual may plan as BNLJ at tiny scale
     "validate_constraints",  # 1-row x 1-row scalar-aggregate crossJoin (FK summary)
 }
@@ -40,30 +40,33 @@ NO_PUSHDOWN_EXPECTED = {
     "not_exists_anti",
     "outer_join",
     "derived_table",
-    "distinct_projection",
     "window_topk_per_group",
-    "set_ops",
-    "union_all_agg",
-    "order_by_limit",
-    "stats_numeric_moments",
-    "stats_string_lengths",
     "stats_histogram",
+    "stats_moments_strings",
     "time_extract_groupby",
     "events_hourly_rollup",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_meta",
+    "text_quality_langid",
+    "text_fingerprint_tokens",
     "multimodal_decode",
     "rollup_grouping_sets",
+    "cube_grouping_sets",
 }
 
 
+def _check_allowlists() -> None:
+    """Allowlist names must exist in the registry — renames fail loudly
+    instead of silently masking the list's intent."""
+    stale = (NON_EQUI_OK | NO_PUSHDOWN_EXPECTED) - set(REGISTRY)
+    if stale:
+        raise SystemExit(f"stale allowlist entries (not in REGISTRY): {sorted(stale)}")
+
+
 def main() -> int:
+    _check_allowlists()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
