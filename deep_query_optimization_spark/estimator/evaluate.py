@@ -114,6 +114,7 @@ def load_checkpoint(path: str):
     per-type embedding matrices."""
     from deep_query_optimization_spark.estimator.model import (
         CNNCostModel,
+        Gerelt4CostModel,
         GRUCostModel,
         MLPCostModel,
         TreeLSTMCostModel,
@@ -126,6 +127,8 @@ def load_checkpoint(path: str):
         return TreeLSTMCostModel.load(path)
     if kind == "cnn":
         return CNNCostModel.load(path)
+    if kind == "gerelt4":
+        return Gerelt4CostModel.load(path)
     return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
 
 

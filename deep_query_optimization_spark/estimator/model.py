@@ -359,6 +359,178 @@ class GRUCostModel:
         return m
 
 
+class Gerelt4CostModel(GRUCostModel):
+    """The EXACT gerelt traversal architecture (reference
+    ``dqo/estimator/gerelt/v20/model.py:62-122``): four bidirectional
+    GRUs read the plan tree's preorder / inorder / postorder / BFS
+    linearizations, each traversal's final hidden state is tanh'd, the
+    eight stream states concatenate into the regression head. Where
+    ``GRUCostModel`` is the bidirectional-preorder stand-in, this is
+    the faithful four-traversal rendition (numpy, manual BPTT, Adam —
+    torch is absent from this container; head sizes follow this repo's
+    32-unit convention rather than the reference's 125/128/48/16).
+
+    Consumes ``PlanEncoder.encode_tree`` output (ids, mat, children)
+    with preorder indexing, same as ``TreeLSTMCostModel``. Inorder
+    follows the reference ``Tree.inorder`` semantics
+    (``dqo/tree/__init__.py:144``): descend first children; after
+    yielding a node, continue into its second child only when it has
+    exactly two — non-binary nodes degrade to preorder-ish order,
+    exactly as the reference does. Spliced plans can leave a forest;
+    roots traverse in index order."""
+
+    STREAMS = ("pre", "ino", "post", "bfs")
+    DIRS = tuple(f"{s}_{d}" for s in ("pre", "ino", "post", "bfs") for d in ("f", "b"))
+
+    def __init__(self, in_dim: int, embed_dim: int = 32, hidden: int = 32, seed: int = 0) -> None:
+        rng = np.random.default_rng(seed)
+        self.in_dim, self.embed_dim, self.hidden = in_dim, embed_dim, hidden
+        self.P: dict[str, np.ndarray] = {}
+        for t in range(len(NODE_TYPES)):
+            self.P[f"We{t}"] = rng.normal(0, math.sqrt(2.0 / in_dim), (in_dim, embed_dim))
+            self.P[f"be{t}"] = np.zeros(embed_dim)
+        for d in self.DIRS:
+            for g in ("z", "r", "n"):
+                self.P[f"W{g}{d}"] = rng.normal(0, math.sqrt(1.0 / embed_dim), (embed_dim, hidden))
+                self.P[f"U{g}{d}"] = rng.normal(0, math.sqrt(1.0 / hidden), (hidden, hidden))
+                self.P[f"b{g}{d}"] = np.zeros(hidden)
+        cat = len(self.DIRS) * hidden
+        self.P["W1"] = rng.normal(0, math.sqrt(2.0 / cat), (cat, hidden))
+        self.P["b1"] = np.zeros(hidden)
+        self.P["W2"] = rng.normal(0, math.sqrt(2.0 / hidden), (hidden, 1))
+        self.P["b2"] = np.zeros(1)
+        self._adam_state: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._adam_t = 0
+
+    # -- traversals ----------------------------------------------------
+
+    @staticmethod
+    def _orders(n: int, children: list[list[int]]) -> dict[str, list[int]]:
+        is_child = [False] * n
+        for kids in children:
+            for k in kids:
+                is_child[k] = True
+        roots = [j for j in range(n) if not is_child[j]]
+
+        post: list[int] = []
+
+        def _post(j: int) -> None:
+            for k in children[j]:
+                _post(k)
+            post.append(j)
+
+        ino: list[int] = []
+
+        def _ino(root: int) -> None:
+            cur: int | None = root
+            stack: list[int] = []
+            while cur is not None or stack:
+                if cur is not None:
+                    stack.append(cur)
+                    cur = children[cur][0] if children[cur] else None
+                else:
+                    cur = stack.pop()
+                    ino.append(cur)
+                    cur = children[cur][1] if len(children[cur]) == 2 else None
+
+        bfs: list[int] = []
+        queue = list(roots)
+        while queue:
+            j = queue.pop(0)
+            bfs.append(j)
+            queue.extend(children[j])
+
+        for r in roots:
+            _post(r)
+            _ino(r)
+        return {"pre": list(range(n)), "ino": ino, "post": post, "bfs": bfs}
+
+    # -- forward / backward --------------------------------------------
+
+    def _forward(self, ids, mat, children):
+        pre_act, xs = self._embed(ids, mat)
+        orders = self._orders(len(xs), children)
+        caches: dict[str, tuple] = {}
+        outs = []
+        for s in self.STREAMS:
+            xs_s = [xs[i] for i in orders[s]]
+            hf, cf = self._gru_run(xs_s, f"{s}_f")
+            hb, cb = self._gru_run(xs_s[::-1], f"{s}_b")
+            caches[s] = (cf, cb, hf, hb)
+            outs.append(np.tanh(hf))
+            outs.append(np.tanh(hb))
+        hc = np.concatenate(outs)
+        h1_pre = hc @ self.P["W1"] + self.P["b1"]
+        h1 = np.maximum(h1_pre, 0)
+        pred = float((h1 @ self.P["W2"] + self.P["b2"])[0])
+        return pred, (pre_act, xs, orders, caches, hc, h1_pre, h1)
+
+    def forward(self, ids, mat, children) -> float:
+        return self._forward(ids, mat, children)[0]
+
+    def predict(self, plans) -> np.ndarray:
+        return np.array([self.forward(ids, mat, ch) for ids, mat, ch in plans])
+
+    def train_step(self, plans, targets, lr: float = 1e-3, clip: float = 5.0) -> float:
+        self._adam_t += 1
+        grads = {k: np.zeros_like(v) for k, v in self.P.items()}
+        total = 0.0
+        n_samples = max(len(plans), 1)
+        for (ids, mat, children), y in zip(plans, targets):
+            pred, (pre_act, xs, orders, caches, hc, h1_pre, h1) = self._forward(ids, mat, children)
+            loss, dpred = smooth_l1(np.array([pred - y]))
+            total += float(loss[0])
+            d = float(dpred[0]) / n_samples
+            grads["W2"] += np.outer(h1, d)
+            grads["b2"] += np.array([d])
+            dh1 = (self.P["W2"][:, 0] * d) * (h1_pre > 0)
+            grads["W1"] += np.outer(hc, dh1)
+            grads["b1"] += dh1
+            dhc = self.P["W1"] @ dh1
+            dxs = [np.zeros(self.embed_dim) for _ in xs]
+            for si, s in enumerate(self.STREAMS):
+                cf, cb, hf, hb = caches[s]
+                order = orders[s]
+                df_ = dhc[(2 * si) * self.hidden : (2 * si + 1) * self.hidden] * (1 - np.tanh(hf) ** 2)
+                db_ = dhc[(2 * si + 1) * self.hidden : (2 * si + 2) * self.hidden] * (1 - np.tanh(hb) ** 2)
+                dxs_s = [np.zeros(self.embed_dim) for _ in order]
+                self._gru_back(df_, cf, f"{s}_f", grads, dxs_s)
+                dxs_s_rev = [np.zeros(self.embed_dim) for _ in order]
+                self._gru_back(db_, cb, f"{s}_b", grads, dxs_s_rev)
+                for t_rev, dx in enumerate(dxs_s_rev):
+                    dxs_s[len(order) - 1 - t_rev] += dx
+                for pos, node_i in enumerate(order):
+                    dxs[node_i] += dxs_s[pos]
+            for i, t in enumerate(ids):
+                de = dxs[i] * (pre_act[i] > 0)
+                grads[f"We{int(t)}"] += np.outer(mat[i], de)
+                grads[f"be{int(t)}"] += de
+        gnorm = math.sqrt(sum(float((g**2).sum()) for g in grads.values()))
+        scale = min(1.0, clip / max(gnorm, 1e-12))
+        for name, g in grads.items():
+            self._adam(name, g * scale, lr)
+        return total / n_samples
+
+    def save(self, path: str) -> None:
+        blob = {
+            "kind": "gerelt4",
+            "in_dim": self.in_dim,
+            "embed_dim": self.embed_dim,
+            "hidden": self.hidden,
+        }
+        blob["params"] = {k: v.tolist() for k, v in self.P.items()}
+        with open(path, "w") as f:
+            json.dump(blob, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Gerelt4CostModel":
+        with open(path) as f:
+            blob = json.load(f)
+        m = cls(in_dim=blob["in_dim"], embed_dim=blob["embed_dim"], hidden=blob["hidden"])
+        m.P = {k: np.array(v) for k, v in blob["params"].items()}
+        return m
+
+
 class TreeLSTMCostModel:
     """Child-sum TreeLSTM over the PLAN TREE (reference
     ``dqo/estimator/treelstm/v1/childsum.py:7`` — Tai et al. 2015),

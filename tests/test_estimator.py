@@ -272,6 +272,108 @@ def test_treelstm_learns_structure_sensitive_cost():
     assert corr > 0.9, f"TreeLSTM corr {corr:.3f}"
 
 
+def test_gerelt4_traversal_orders():
+    """The four linearizations must follow the reference Tree semantics
+    (``dqo/tree/__init__.py:142-170``): inorder descends first children
+    and takes the second child only on binary nodes; forests traverse
+    roots in index order."""
+    from deep_query_optimization_spark.estimator.model import Gerelt4CostModel
+
+    #        0
+    #      /   \
+    #     1     4
+    #    / \
+    #   2   3
+    children = [[1, 4], [2, 3], [], [], []]
+    o = Gerelt4CostModel._orders(5, children)
+    assert o["pre"] == [0, 1, 2, 3, 4]
+    assert o["post"] == [2, 3, 1, 4, 0]
+    assert o["ino"] == [2, 1, 3, 0, 4]
+    assert o["bfs"] == [0, 1, 4, 2, 3]
+    # forest: two roots, traversed in index order
+    o2 = Gerelt4CostModel._orders(4, [[1], [], [3], []])
+    assert o2["post"] == [1, 0, 3, 2]
+    assert o2["bfs"] == [0, 2, 1, 3]  # both roots enqueue before their children
+
+
+def test_gerelt4_gradients_match_finite_differences():
+    """Manual BPTT through all eight traversal GRUs (four traversals ×
+    two directions, incl. the permutation scatter back to node
+    positions) must match numerical gradients."""
+    from deep_query_optimization_spark.estimator.model import Gerelt4CostModel, smooth_l1
+
+    rng = np.random.default_rng(0)
+    m = Gerelt4CostModel(in_dim=7, embed_dim=5, hidden=4, seed=1)
+    plans = [
+        (np.array([3, 2, 0, 0, 1]), rng.normal(size=(5, 7)), [[1, 4], [2, 3], [], [], []]),
+        (np.array([1, 0, 2, 0]), rng.normal(size=(4, 7)), [[1], [], [3], []]),  # forest
+    ]
+    targets = [0.7, -1.3]
+    captured: dict[str, np.ndarray] = {}
+    m._adam = lambda name, grad, lr: captured.__setitem__(name, grad.copy())
+    m.train_step(plans, targets, lr=0.0, clip=1e9)
+
+    def loss_fn():
+        total = 0.0
+        for (ids, mat, ch), y in zip(plans, targets):
+            loss, _ = smooth_l1(np.array([m.forward(ids, mat, ch) - y]))
+            total += float(loss[0])
+        return total / len(plans)
+
+    eps = 1e-6
+    for name in ("Wzpre_f", "Unino_b", "Urpost_f", "bzbfs_b", "W1", "We0", "Uzino_f"):
+        p = m.P[name]
+        idx = tuple(np.unravel_index(np.argmax(np.abs(captured[name])), p.shape))
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp = loss_fn()
+        p[idx] = orig - eps
+        lm = loss_fn()
+        p[idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = captured[name][idx]
+        rel = abs(num - ana) / max(1e-8, abs(num) + abs(ana))
+        assert rel < 1e-5, f"{name}: analytic {ana} vs numeric {num}"
+
+
+def test_gerelt4_learns_structure_sensitive_cost():
+    """Same setup as the TreeLSTM structure test: identical preorder
+    type sequences, cost encoded in tree SHAPE. The four-traversal
+    model must separate the shapes through its inorder/postorder/bfs
+    streams (preorder alone cannot)."""
+    from deep_query_optimization_spark.estimator.model import Gerelt4CostModel
+
+    rng = np.random.default_rng(5)
+    width = 10
+    plans, runtimes = [], []
+    for _ in range(80):
+        bushy = bool(rng.integers(0, 2))
+        ids = np.array([2, 2, 0, 0, 0], dtype=np.int64)
+        mat = rng.normal(0, 0.05, (5, width))
+        children = [[1, 4], [2, 3], [], [], []] if bushy else [[1], [2, 3, 4], [], [], []]
+        plans.append((ids, mat, children))
+        runtimes.append(4.0 if bushy else 0.25)
+    m = Gerelt4CostModel(in_dim=width, embed_dim=10, hidden=10, seed=0)
+    m.fit(plans, runtimes, epochs=200, lr=5e-3)
+    targets = np.array([math.log2(t) for t in runtimes])
+    corr = np.corrcoef(m.predict(plans), targets)[0, 1]
+    assert corr > 0.9, f"Gerelt4 corr {corr:.3f}"
+
+
+def test_gerelt4_save_load_roundtrip(tmp_path):
+    from deep_query_optimization_spark.estimator.evaluate import load_checkpoint
+    from deep_query_optimization_spark.estimator.model import Gerelt4CostModel
+
+    rng = np.random.default_rng(3)
+    m = Gerelt4CostModel(in_dim=6, embed_dim=5, hidden=4, seed=2)
+    plan = (np.array([0, 2, 1]), rng.normal(size=(3, 6)), [[1, 2], [], []])
+    p = str(tmp_path / "g4.json")
+    m.save(p)
+    m2 = load_checkpoint(p)
+    assert isinstance(m2, Gerelt4CostModel)
+    assert m2.forward(*plan) == m.forward(*plan)
+
+
 def test_cnn_gradients_match_finite_differences():
     from deep_query_optimization_spark.estimator.model import CNNCostModel, smooth_l1
 

@@ -15,6 +15,13 @@ pooled MLP, sequence GRU) on one stratified split, and writes:
 
 Usage:
     python tools/train_estimator.py [sf_dir] [n_queries] [out_dir]
+
+Env knobs (the sf0.1 defaults compress runtimes into few buckets; at
+sf1+ widen the partitioner and raise the watchdog so the slow buckets
+are reachable):
+    DQO_BUCKET_LO / DQO_BUCKET_HI   Log2Partitioner range (default -3..2)
+    DQO_TIMEOUT_S                   per-query watchdog (default 30)
+    DQO_BUDGET_S                    workload-gen wall budget (default 420)
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
 from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics  # noqa: E402
 from deep_query_optimization_spark.estimator.model import (  # noqa: E402
     CNNCostModel,
+    Gerelt4CostModel,
     GRUCostModel,
     LinearCostModel,
     MLPCostModel,
@@ -60,9 +68,15 @@ def main() -> None:
 
     spark = get_spark("dqo-train-estimator")
     spark.sparkContext.setLogLevel("ERROR")
+    import os
+
     engine = DQOEngine(spark, sf_dir, snapshot_path=str(out / "schema.json"))
     engine.snapshot()
-    engine.runner.timeout_s = 30  # runaway join → canceled, labeled at the cap
+    # runaway join → canceled, labeled at the cap
+    engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "30"))
+    bucket_lo = int(os.environ.get("DQO_BUCKET_LO", "-3"))
+    bucket_hi = int(os.environ.get("DQO_BUCKET_HI", "2"))
+    budget_s = float(os.environ.get("DQO_BUDGET_S", "420"))
     print(f"schema+stats snapshot: {len(engine.db)} tables")
 
     # local[*] runtimes compress into few log2 buckets — use a narrow
@@ -76,7 +90,7 @@ def main() -> None:
         print(f"reusing existing workload: {len(ds.rows)} rows")
     else:
         ds = engine.generate_workload(
-            n, seed=42, partitioner=Log2Partitioner(-3, 2), time_budget_s=420
+            n, seed=42, partitioner=Log2Partitioner(bucket_lo, bucket_hi), time_budget_s=budget_s
         )
         ds.save(str(out / "workload.csv"))
     hist: dict[int, int] = {}
@@ -102,10 +116,13 @@ def main() -> None:
         "gru": GRUCostModel(in_dim=engine.encoder.width, seed=0),
         "cnn": CNNCostModel(in_dim=engine.encoder.width, seed=0),
         "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
+        "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, seed=0),
     }
     for fam, model in families.items():
         t0 = time.time()
-        tr, te = (tree_train, tree_test) if fam == "treelstm" else (enc_train, enc_test)
+        tr, te = (
+            (tree_train, tree_test) if fam in ("treelstm", "gerelt4") else (enc_train, enc_test)
+        )
         if fam == "linear":
             model.fit(tr, rt_train)
         else:
