@@ -129,6 +129,10 @@ def load_checkpoint(path: str):
         return CNNCostModel.load(path)
     if kind == "gerelt4":
         return Gerelt4CostModel.load(path)
+    if kind == "mscn":
+        from deep_query_optimization_spark.estimator.mscn import MSCNCostModel
+
+        return MSCNCostModel.load(path)
     return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
 
 

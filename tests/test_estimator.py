@@ -374,6 +374,102 @@ def test_gerelt4_save_load_roundtrip(tmp_path):
     assert m2.forward(*plan) == m.forward(*plan)
 
 
+def _mscn_toy_plans(rng, n=100):
+    """Synthetic MSCN sets: runtime driven by join-set size (the
+    signal MSCN's join stream should pick up)."""
+    plans, runtimes = [], []
+    for _ in range(n):
+        n_joins = int(rng.integers(0, 5))
+        T = rng.integers(0, 2, size=(n_joins + 1, 4)).astype(float)
+        J = rng.integers(0, 2, size=(n_joins, 5)).astype(float)
+        P = rng.integers(0, 2, size=(int(rng.integers(0, 4)), 7)).astype(float)
+        plans.append((T, J, P))
+        runtimes.append(float(2.0**n_joins * 0.5))
+    return plans, runtimes
+
+
+def test_mscn_gradients_match_finite_differences():
+    """Backprop through the three set MLPs (incl. the empty-set skip
+    and the 1/n pooling term) must match numerical gradients."""
+    from deep_query_optimization_spark.estimator.mscn import MSCNCostModel
+    from deep_query_optimization_spark.estimator.model import smooth_l1
+
+    rng = np.random.default_rng(0)
+    m = MSCNCostModel(widths=(4, 5, 7), hidden=6, seed=1)
+    plans = [
+        (rng.normal(size=(2, 4)), rng.normal(size=(1, 5)), rng.normal(size=(3, 7))),
+        (rng.normal(size=(1, 4)), np.zeros((0, 5)), np.zeros((0, 7))),  # empty sets
+    ]
+    targets = [0.7, -1.3]
+    captured: dict[str, np.ndarray] = {}
+    m._adam = lambda name, grad, lr: captured.__setitem__(name, grad.copy())
+    m.train_step(plans, targets, lr=0.0, clip=1e9)
+
+    def loss_fn():
+        total = 0.0
+        for (T, J, P), y in zip(plans, targets):
+            loss, _ = smooth_l1(np.array([m.forward(T, J, P) - y]))
+            total += float(loss[0])
+        return total / len(plans)
+
+    eps = 1e-6
+    for name in ("W1t", "W2j", "b1p", "W2p", "Wo1", "bo1"):
+        p = m.P[name]
+        idx = tuple(np.unravel_index(np.argmax(np.abs(captured[name])), p.shape))
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp = loss_fn()
+        p[idx] = orig - eps
+        lm = loss_fn()
+        p[idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = captured[name][idx]
+        rel = abs(num - ana) / max(1e-8, abs(num) + abs(ana))
+        assert rel < 1e-5, f"{name}: analytic {ana} vs numeric {num}"
+
+
+def test_mscn_learns_join_count_cost():
+    from deep_query_optimization_spark.estimator.mscn import MSCNCostModel
+
+    rng = np.random.default_rng(3)
+    plans, runtimes = _mscn_toy_plans(rng)
+    m = MSCNCostModel(widths=(4, 5, 7), hidden=16, seed=0)
+    losses = m.fit(plans, runtimes, epochs=250, lr=3e-3)
+    assert losses[-1] < losses[0] * 0.3
+    targets = np.array([math.log2(t) for t in runtimes])
+    corr = np.corrcoef(m.predict(plans), targets)[0, 1]
+    assert corr > 0.85, f"MSCN corr {corr:.3f}"
+
+
+def test_mscn_encoder_and_roundtrip(spark, tables, tmp_path):
+    """Encoder widths derive from the schema; a parsed workload query
+    produces non-empty table/join/predicate sets; save/load preserves
+    predictions."""
+    from deep_query_optimization_spark.catalog import load_database
+    from deep_query_optimization_spark.estimator.evaluate import load_checkpoint
+    from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
+    from deep_query_optimization_spark.relational.parser import parse_sql
+
+    db = load_database(spark, "/root/testdata/sf0.001")
+    enc = MSCNEncoder(db)
+    q = parse_sql(
+        spark,
+        "SELECT MIN(l.l_extendedprice) FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 10",
+        db,
+    )
+    T, J, P = enc.encode(q)
+    assert T.shape == (2, enc.table_bits)
+    assert J.shape == (1, enc.join_bits)
+    assert P.shape[0] >= 1 and P.shape[1] == enc.col_bits + enc.op_bits
+    m = MSCNCostModel(widths=enc.widths, hidden=8, seed=2)
+    path = str(tmp_path / "mscn.json")
+    m.save(path)
+    m2 = load_checkpoint(path)
+    assert isinstance(m2, MSCNCostModel)
+    assert m2.forward(T, J, P) == m.forward(T, J, P)
+
+
 def test_cnn_gradients_match_finite_differences():
     from deep_query_optimization_spark.estimator.model import CNNCostModel, smooth_l1
 

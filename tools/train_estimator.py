@@ -107,6 +107,11 @@ def main() -> None:
     enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
     tree_train = [engine.encode_sql_tree(sql) for sql, _, _ in train.rows]
     tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
+    from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
+
+    menc = MSCNEncoder(engine.db)
+    mscn_train = [menc.encode(engine.parse(sql)) for sql, _, _ in train.rows]
+    mscn_test = [menc.encode(engine.parse(sql)) for sql, _, _ in test.rows]
     rt_train = [r for _, r, _ in train.rows]
 
     report: dict = {"n": len(ds.rows), "bucket_histogram": occupied, "models": {}}
@@ -117,12 +122,16 @@ def main() -> None:
         "cnn": CNNCostModel(in_dim=engine.encoder.width, seed=0),
         "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
         "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, seed=0),
+        "mscn": MSCNCostModel(widths=menc.widths, seed=0),
     }
     for fam, model in families.items():
         t0 = time.time()
-        tr, te = (
-            (tree_train, tree_test) if fam in ("treelstm", "gerelt4") else (enc_train, enc_test)
-        )
+        if fam in ("treelstm", "gerelt4"):
+            tr, te = tree_train, tree_test
+        elif fam == "mscn":
+            tr, te = mscn_train, mscn_test
+        else:
+            tr, te = enc_train, enc_test
         if fam == "linear":
             model.fit(tr, rt_train)
         else:
