@@ -133,6 +133,10 @@ def load_checkpoint(path: str):
         from deep_query_optimization_spark.estimator.mscn import MSCNCostModel
 
         return MSCNCostModel.load(path)
+    if kind == "neo":
+        from deep_query_optimization_spark.estimator.neo import NeoCostModel
+
+        return NeoCostModel.load(path)
     return GRUCostModel.load(path) if "params" in blob else MLPCostModel.load(path)
 
 

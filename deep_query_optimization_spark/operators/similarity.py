@@ -140,8 +140,6 @@ def kmeans_centroids(
     driver-side work is capped at ``sample_n`` vectors regardless of
     corpus size (0.5 MB at 2048×64f); everything distributed happens in
     ``ivf_topk``. numpy Lloyd iterations, deterministic init."""
-    import numpy as np
-
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.col(id_col))

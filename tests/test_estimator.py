@@ -470,6 +470,86 @@ def test_mscn_encoder_and_roundtrip(spark, tables, tmp_path):
     assert m2.forward(T, J, P) == m.forward(T, J, P)
 
 
+def test_neo_gradients_match_finite_differences():
+    from deep_query_optimization_spark.estimator.model import smooth_l1
+    from deep_query_optimization_spark.estimator.neo import NeoCostModel
+
+    rng = np.random.default_rng(0)
+    m = NeoCostModel(in_dim=12, seed=1)
+    plans = [rng.integers(0, 2, size=12).astype(float) for _ in range(3)]
+    targets = [0.7, -1.3, 2.0]
+    captured: dict[str, np.ndarray] = {}
+    m._adam = lambda name, grad, lr: captured.__setitem__(name, grad.copy())
+    m.train_step(plans, targets, lr=0.0, clip=1e9)
+
+    def loss_fn():
+        total = 0.0
+        for x, y in zip(plans, targets):
+            loss, _ = smooth_l1(np.array([m.forward(x) - y]))
+            total += float(loss[0])
+        return total / len(plans)
+
+    eps = 1e-6
+    for name in ("W0", "b1", "W2", "W3", "b0"):
+        p = m.P[name]
+        idx = tuple(np.unravel_index(np.argmax(np.abs(captured[name])), p.shape))
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp = loss_fn()
+        p[idx] = orig - eps
+        lm = loss_fn()
+        p[idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = captured[name][idx]
+        rel = abs(num - ana) / max(1e-8, abs(num) + abs(ana))
+        assert rel < 1e-5, f"{name}: analytic {ana} vs numeric {num}"
+
+
+def test_neo_encoder_learns_and_roundtrips(spark, tables, tmp_path):
+    """Encoder: join bits + predicate-column indicators; the MLP learns
+    a join-count-driven cost from those bits; save/load preserves
+    predictions."""
+    from deep_query_optimization_spark.catalog import load_database
+    from deep_query_optimization_spark.estimator.evaluate import load_checkpoint
+    from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
+    from deep_query_optimization_spark.relational.parser import parse_sql
+
+    db = load_database(spark, "/root/testdata/sf0.001")
+    enc = NeoEncoder(db)
+    q = parse_sql(
+        spark,
+        "SELECT MIN(l.l_extendedprice) FROM lineitem l, orders o "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 10",
+        db,
+    )
+    x = enc.encode(q)
+    assert x.shape == (enc.width,)
+    assert x[: enc.n_join_bits].sum() == 1  # one join edge
+    assert x[enc.n_join_bits :].sum() >= 1  # at least the predicate column
+
+    rng = np.random.default_rng(4)
+    plans, runtimes = [], []
+    for _ in range(100):
+        n_joins = int(rng.integers(0, 5))
+        v = np.zeros(20)
+        v[rng.choice(8, size=n_joins, replace=False)] = 1.0
+        v[8 + rng.choice(12, size=int(rng.integers(0, 4)), replace=False)] = 1.0
+        plans.append(v)
+        runtimes.append(float(2.0**n_joins * 0.5))
+    m = NeoCostModel(in_dim=20, seed=0)
+    losses = m.fit(plans, runtimes, epochs=250, lr=3e-3)
+    assert losses[-1] < losses[0] * 0.3
+    targets = np.array([math.log2(t) for t in runtimes])
+    corr = np.corrcoef(m.predict(plans), targets)[0, 1]
+    assert corr > 0.85, f"Neo corr {corr:.3f}"
+
+    path = str(tmp_path / "neo.json")
+    m.save(path)
+    m2 = load_checkpoint(path)
+    assert isinstance(m2, NeoCostModel)
+    assert m2.forward(plans[0]) == m.forward(plans[0])
+
+
 def test_cnn_gradients_match_finite_differences():
     from deep_query_optimization_spark.estimator.model import CNNCostModel, smooth_l1
 

@@ -108,10 +108,16 @@ def main() -> None:
     tree_train = [engine.encode_sql_tree(sql) for sql, _, _ in train.rows]
     tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
     from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
+    from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
 
     menc = MSCNEncoder(engine.db)
-    mscn_train = [menc.encode(engine.parse(sql)) for sql, _, _ in train.rows]
-    mscn_test = [menc.encode(engine.parse(sql)) for sql, _, _ in test.rows]
+    nenc = NeoEncoder(engine.db)
+    ir_train = [engine.parse(sql) for sql, _, _ in train.rows]
+    ir_test = [engine.parse(sql) for sql, _, _ in test.rows]
+    mscn_train = [menc.encode(q) for q in ir_train]
+    mscn_test = [menc.encode(q) for q in ir_test]
+    neo_train = [nenc.encode(q) for q in ir_train]
+    neo_test = [nenc.encode(q) for q in ir_test]
     rt_train = [r for _, r, _ in train.rows]
 
     report: dict = {"n": len(ds.rows), "bucket_histogram": occupied, "models": {}}
@@ -123,6 +129,7 @@ def main() -> None:
         "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
         "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, seed=0),
         "mscn": MSCNCostModel(widths=menc.widths, seed=0),
+        "neo": NeoCostModel(in_dim=nenc.width, seed=0),
     }
     for fam, model in families.items():
         t0 = time.time()
@@ -130,6 +137,8 @@ def main() -> None:
             tr, te = tree_train, tree_test
         elif fam == "mscn":
             tr, te = mscn_train, mscn_test
+        elif fam == "neo":
+            tr, te = neo_train, neo_test
         else:
             tr, te = enc_train, enc_test
         if fam == "linear":
