@@ -102,20 +102,49 @@ def jaccard_pairs(
     denominator). The co-shingle join's fan-out is Σ df(shingle)²,
     which a single stop-phrase 3-gram makes quadratic at corpus scale;
     dropped shingles discriminate nothing. Pass None for the exact
-    unguarded computation."""
+    unguarded computation.
+
+    Exact duplicates COLLAPSE before the shingle join (the standard
+    pipeline ordering: exact dedup, then near-dup): the quadratic work
+    runs on one representative per distinct text, then pairs expand
+    back to documents — intra-group pairs at Jaccard 1.0, cross-group
+    pairs inheriting their representatives' score. Document-level
+    semantics are preserved exactly: the df cap counts DOCUMENTS via
+    the group-count weight (identical texts contribute identical
+    shingle sets), so dropped shingles, sizes, and scores match the
+    uncollapsed computation bit-for-bit (duplicate-heavy corpora are
+    pytest-checked against a direct reference computation; the driver
+    oracle stays the plain document-level SQL). On a 10×-duplicated
+    corpus the co-shingle join shrinks 100×."""
     from pyspark.sql.window import Window
 
-    sh = shingle_hashes(df, id_col, text_col, n)
+    digest = F.md5(F.col(text_col)).alias("digest")
+    groups = df.groupBy(digest).agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("cnt")
+    )
+    members = (
+        df.select(F.col(id_col).alias("id"), digest)
+        .join(groups.select("digest", "rep_id"), "digest")
+        .select("id", "rep_id")
+    )
+    reps = df.join(
+        groups.select(F.col("rep_id").alias(id_col), "cnt"), id_col
+    )
+
+    sh = shingle_hashes(reps, id_col, text_col, n)
     if max_shingle_df is not None:
-        # window count over hv: ONE added shuffle (vs a groupBy + join
-        # back), and the filtered index is what gets cached
+        # window SUM of group counts over hv = document-level df: ONE
+        # added shuffle (vs a groupBy + join back), and the filtered
+        # index is what gets cached
+        weights = reps.select(F.col(id_col).alias("id"), "cnt")
         sh = (
-            sh.withColumn("df_cnt", F.count(F.lit(1)).over(Window.partitionBy("hv")))
+            sh.join(weights, "id")
+            .withColumn("df_cnt", F.sum("cnt").over(Window.partitionBy("hv")))
             .filter(F.col("df_cnt") <= max_shingle_df)
             .select("id", "hv")
         )
     sh = cache_index(sh, "jaccard_shingles")
-    sh.count()  # materialize the shingle index ONCE; the three consumers
+    sh.count()  # materialize the shingle index ONCE; the consumers
     # below would otherwise race to populate the cache inside one job
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -127,7 +156,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    rep_pairs = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -137,6 +166,38 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # expand representative pairs back to document pairs
+    ma = members.select(F.col("rep_id").alias("id_a"), F.col("id").alias("doc_a"))
+    mb = members.select(F.col("rep_id").alias("id_b"), F.col("id").alias("doc_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("id_a"),
+            F.greatest("doc_a", "doc_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # intra-group pairs score 1.0 — emitted only when the text kept at
+    # least one shingle (same as the uncollapsed join, where shingle-
+    # free docs produce no rows)
+    m1 = members.alias("m1")
+    m2 = members.alias("m2")
+    intra = (
+        m1.join(
+            m2,
+            (F.col("m1.rep_id") == F.col("m2.rep_id")) & (F.col("m1.id") < F.col("m2.id")),
+        )
+        .join(sizes.select(F.col("id").alias("__sz_rep")), F.col("m1.rep_id") == F.col("__sz_rep"))
+        .select(
+            F.col("m1.id").alias("id_a"),
+            F.col("m2.id").alias("id_b"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= threshold)
+    )
+    return cross.unionAll(intra)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3, seed: int = 7) -> DataFrame:

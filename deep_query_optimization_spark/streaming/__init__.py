@@ -161,6 +161,7 @@ def run_available_now(
     checkpoint: str | None = None,
     output_mode: str = "complete",
     cleanup: bool = True,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return
     the result table (testing/backfill pattern).
@@ -170,23 +171,39 @@ def run_available_now(
     checkpoint directory removed — so repeated gate/bench runs don't
     accumulate memory-sink tables or temp checkpoints. Pass
     ``cleanup=False`` to keep the live sink (incremental two-phase
-    tests resuming from the same checkpoint)."""
+    tests resuming from the same checkpoint).
+
+    ``state_partitions`` sizes the state store's parallelism (the
+    shuffle-partition count baked into the new checkpoint). Stateful
+    aggregations pay a per-partition commit cost EVERY micro-batch, so
+    state parallelism should track key volume, not cluster width — a
+    windowed rollup holds #windows × #group-keys entries, bounded by
+    the watermark, and 32 near-empty state partitions cost 3× more
+    wall-clock than 8 full ones at sf0.1."""
     import shutil
     import tempfile
 
+    spark = stream_df.sparkSession
     own_checkpoint = checkpoint is None
     if own_checkpoint:
         checkpoint = tempfile.mkdtemp(prefix="dqo_stream_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    spark = stream_df.sparkSession
+    prev_parts = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(query_name)
     if not cleanup:
         return sink

@@ -763,14 +763,16 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     hold-everything sink). The emitted set is exactly the finalized
     windows — hash-compared against the batch oracle restricted to
     windows whose end precedes max(ts) − 1h. Memory sink + checkpoint
-    are cleaned up per run (run_available_now cleanup=True)."""
+    are cleaned up per run (run_available_now cleanup=True); state
+    parallelism sized to key volume, not cluster width (the rollup
+    holds a watermark-bounded number of window×type keys)."""
     import uuid
 
     from deep_query_optimization_spark.streaming import events_file_stream, hourly_rollup, run_available_now
 
     stream = hourly_rollup(events_file_stream(spark, f"{sf_dir}/events.parquet"), watermark="1 hour")
     name = f"gate_stream_hr_{uuid.uuid4().hex[:8]}"
-    return run_available_now(stream, name, output_mode="append")
+    return run_available_now(stream, name, output_mode="append", state_partitions=8)
 
 
 @register("sim_topk_ivf", None)  # approximate: rows-only; recall vs exact in pytest

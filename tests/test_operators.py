@@ -78,6 +78,64 @@ def test_jaccard_shingle_df_cap_bounds_fanout(spark):
     assert uncapped.count() == (n + 1) * n // 2
 
 
+def test_jaccard_duplicate_collapse_matches_direct(spark):
+    """The exact-dup collapse inside jaccard_pairs must be invisible in
+    the OUTPUT: on a corpus where every text appears several times, the
+    result equals a direct document-level reference computation —
+    including intra-group 1.0 pairs, cross-group expansion, and the
+    df-cap counting DOCUMENTS (weighted by group size), not distinct
+    texts."""
+    import hashlib as _h
+    import itertools
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",  # near-dup of the first
+        "one two three four five six seven",
+        "totally different content entirely here now",
+    ]
+    rows = []
+    did = 0
+    for copy in range(3):  # every text ×3
+        for t in texts:
+            rows.append((did, t))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cap = 8  # texts 0/1 share shingles with df = 3 or 6 ≤ 8; a lower
+    # cap would drop the ×6 shared shingles — exercised below
+
+    def direct(rows, n, threshold, max_df):
+        def shingles(t):
+            w = t.split()
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+        sh = {i: shingles(t) for i, t in rows}
+        dfc: dict[str, int] = {}
+        for s in sh.values():
+            for g in s:
+                dfc[g] = dfc.get(g, 0) + 1
+        if max_df is not None:
+            sh = {i: {g for g in s if dfc[g] <= max_df} for i, s in sh.items()}
+        out = set()
+        for (i, si), (j, sj) in itertools.combinations(sorted(sh.items()), 2):
+            inter = len(si & sj)
+            union = len(si | sj)
+            if union and inter / union >= threshold:
+                out.add((i, j, round(inter / union, 6)))
+        return out
+
+    for max_df in (cap, 4, None):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.3, max_shingle_df=max_df
+            ).collect()
+        }
+        want = direct(rows, 3, 0.3, max_df)
+        assert got == want, f"max_df={max_df}: {got ^ want}"
+
+
 def test_jaccard_cap_noop_on_clean_corpus(docs):
     """On the driver corpus (no shingle anywhere near df=1000) the
     capped gate result is identical to the exact computation."""
