@@ -140,12 +140,74 @@ def salted_join(left, right, key: str, n_salts: int = 16, how: str = "inner"):
     salting is the manual fallback when a SINGLE key exceeds one
     executor (the classic null-key / celebrity-user case at 100 TB).
     The salt is a pure hash of the whole left row id via
-    monotonically-increasing id — deterministic within a run."""
+    monotonically-increasing id — deterministic within a run.
+
+    This variant replicates the ENTIRE right side ``n_salts``× — simple
+    and fine when the right side is small. When only a handful of keys
+    are hot, ``salted_join_hot`` salts just those and plain-joins the
+    rest."""
     salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lhs = left.withColumn("__salt", salt_l)
     rhs = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = lhs.join(rhs, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def hot_keys(df, key: str, sample_fraction: float = 0.01, threshold_rows: int | None = None, max_keys: int = 100, seed: int = 7) -> list:
+    """Estimate heavy-hitter join keys from a deterministic sample.
+
+    A key is hot when its estimated row count exceeds
+    ``threshold_rows`` (default: rows / shuffle-partitions — more than
+    one reducer's fair share). The sample bounds driver cost: one
+    small scan + a top-``max_keys`` collect, never a full groupBy of
+    the fact table."""
+    spark = df.sparkSession
+    if threshold_rows is None:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        threshold_rows = max(df.count() // max(parts, 1), 1)
+    sample_thresh = max(int(threshold_rows * sample_fraction), 1)
+    rows = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .count()
+        .filter(F.col("count") >= sample_thresh)
+        .orderBy(F.col("count").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def salted_join_hot(
+    left,
+    right,
+    key: str,
+    n_salts: int = 16,
+    hot: list | None = None,
+    sample_fraction: float = 0.01,
+):
+    """PARTIAL salting — the production skew pattern: detect the
+    heavy-hitter keys (``hot_keys`` sample estimate unless given),
+    salt ONLY those rows, and plain-join everything else. The right
+    side replicates ``n_salts``× only for the hot keys (a handful of
+    rows), not the whole table — at 100 TB replicating a 1 B-row
+    dimension 32× is its own incident. Inner joins only (the
+    hot/cold split double-counts unmatched rows under outer modes).
+    Result is identical to the plain join (oracle-checked in the
+    ``salted_join_agg`` gate)."""
+    if hot is None:
+        hot = hot_keys(left, key, sample_fraction)
+    if not hot:
+        return left.join(right, key)
+    cold = left.filter(~F.col(key).isin(hot) | F.col(key).isNull()).join(right, key)
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs_hot = left.filter(F.col(key).isin(hot)).withColumn("__salt", salt_l)
+    rhs_hot = (
+        right.filter(F.col(key).isin(hot))
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    hot_joined = lhs_hot.join(rhs_hot, [key, "__salt"], "inner").drop("__salt")
+    return cold.unionByName(hot_joined)
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -1052,18 +1052,22 @@ def q_or_multi_flatten(spark, sf_dir):
        GROUP BY o_orderpriority""",
 )
 def q_salted_join_agg(spark, sf_dir):
-    """Skew-mitigated equi-join (functions.salted_join): the fact side
-    is salted by a row hash, the dimension side explodes across all
-    salts, so one hot key spreads over n_salts reducers. Result is
-    IDENTICAL to the plain join — the oracle is the plain SQL join, so
-    the salting layout itself is hash-checked."""
-    from deep_query_optimization_spark.functions import salted_join
+    """Skew-mitigated equi-join, PARTIAL-salting variant
+    (functions.salted_join_hot — the production pattern): rows on the
+    designated hot keys are salted across n_salts reducers with the
+    dimension replicated only for those keys; everything else takes
+    the plain join. Result is IDENTICAL to the plain join — the oracle
+    is the plain SQL join, so both the hot and cold paths are
+    hash-checked. Full-replication salting (salted_join) and the
+    hot-key detector stay pytest-covered and measured in
+    reports/skew_report.json."""
+    from deep_query_optimization_spark.functions import salted_join_hot
 
     li = t(spark, sf_dir, "lineitem")
     ords = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, ords, "l_orderkey", n_salts=8)
+    joined = salted_join_hot(li, ords, "l_orderkey", n_salts=8, hot=[1, 2, 3, 4, 5, 6, 7])
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),

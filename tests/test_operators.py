@@ -509,6 +509,47 @@ def test_salted_join_matches_plain_join(spark, tables):
     assert "__salt" not in salted_join(li, o, "k").columns
 
 
+def test_salted_join_hot_detects_and_matches(spark):
+    """Partial salting on a planted-skew corpus: the sample detector
+    finds the hot key, only that key's dimension rows replicate, and
+    the hot+cold union equals the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from deep_query_optimization_spark.functions import hot_keys, salted_join_hot
+
+    fact = spark.range(50_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id") % 500).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    dim = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 9).alias("grp"))
+
+    hot = hot_keys(fact, "k", sample_fraction=0.05)
+    assert hot == [7], hot  # half the fact rows carry key 7
+
+    plain = {
+        tuple(r)
+        for r in fact.join(dim, "k").groupBy("grp").agg(F.count(F.lit(1)), F.sum("v")).collect()
+    }
+    auto = {
+        tuple(r)
+        for r in salted_join_hot(fact, dim, "k", n_salts=8)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)), F.sum("v"))
+        .collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in salted_join_hot(fact, dim, "k", n_salts=8, hot=[7])
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)), F.sum("v"))
+        .collect()
+    }
+    assert plain == auto == explicit
+    # no hot keys → falls back to the plain join (no salt machinery)
+    uniform = spark.range(1000).select((F.col("id") % 500).alias("k"), F.lit(1).alias("v"))
+    assert salted_join_hot(uniform, dim, "k", hot=[]).count() == uniform.join(dim, "k").count()
+
+
 # -- data validation -----------------------------------------------------
 
 
