@@ -376,8 +376,15 @@ class Gerelt4CostModel(GRUCostModel):
     (``dqo/tree/__init__.py:144``): descend first children; after
     yielding a node, continue into its second child only when it has
     exactly two — non-binary nodes degrade to preorder-ish order,
-    exactly as the reference does. Spliced plans can leave a forest;
-    roots traverse in index order."""
+    exactly as the reference does (nodes past the second child are
+    silently absent from the inorder sequence, reference-faithful).
+    Postorder is exact for the ≤2-ary trees Catalyst plans actually
+    produce; on >2-ary nodes it diverges deliberately — the
+    reference's binary-specialized iterative postorder skips children
+    beyond the second, ours visits ALL children (iteratively, no
+    recursion limit on deep plans) so no node drops out of the
+    sequence. Spliced plans can leave a forest; roots traverse in
+    index order."""
 
     STREAMS = ("pre", "ino", "post", "bfs")
     DIRS = tuple(f"{s}_{d}" for s in ("pre", "ino", "post", "bfs") for d in ("f", "b"))
@@ -414,10 +421,18 @@ class Gerelt4CostModel(GRUCostModel):
 
         post: list[int] = []
 
-        def _post(j: int) -> None:
-            for k in children[j]:
-                _post(k)
-            post.append(j)
+        def _post(root: int) -> None:
+            # iterative all-children postorder (see class docstring for
+            # the n-ary divergence from the reference's binary version)
+            stack: list[tuple[int, bool]] = [(root, False)]
+            while stack:
+                j, expanded = stack.pop()
+                if expanded:
+                    post.append(j)
+                else:
+                    stack.append((j, True))
+                    for k in reversed(children[j]):
+                        stack.append((k, False))
 
         ino: list[int] = []
 

@@ -158,23 +158,30 @@ def hot_keys(df, key: str, sample_fraction: float = 0.01, threshold_rows: int | 
 
     A key is hot when its estimated row count exceeds
     ``threshold_rows`` (default: rows / shuffle-partitions — more than
-    one reducer's fair share). The sample bounds driver cost: one
-    small scan + a top-``max_keys`` collect, never a full groupBy of
-    the fact table."""
+    one reducer's fair share; total rows estimated from the SAME sample
+    as ``sample_count / sample_fraction``, so the only scan is the
+    sampled one). The sample bounds driver cost: one small scan + a
+    top-``max_keys`` collect, never a full groupBy or count of the
+    fact table."""
     spark = df.sparkSession
-    if threshold_rows is None:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        threshold_rows = max(df.count() // max(parts, 1), 1)
-    sample_thresh = max(int(threshold_rows * sample_fraction), 1)
-    rows = (
-        df.sample(fraction=sample_fraction, seed=seed)
-        .groupBy(key)
-        .count()
-        .filter(F.col("count") >= sample_thresh)
-        .orderBy(F.col("count").desc())
-        .limit(max_keys)
-        .collect()
-    )
+    counts = df.sample(fraction=sample_fraction, seed=seed).groupBy(key).count()
+    counts.persist()  # one fact-table scan; both actions below read the cache
+    try:
+        if threshold_rows is None:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            row = counts.agg(F.sum("count")).first()
+            sample_total = row[0] or 0
+            est_total = sample_total / max(sample_fraction, 1e-9)
+            threshold_rows = max(int(est_total) // max(parts, 1), 1)
+        sample_thresh = max(int(threshold_rows * sample_fraction), 1)
+        rows = (
+            counts.filter(F.col("count") >= sample_thresh)
+            .orderBy(F.col("count").desc())
+            .limit(max_keys)
+            .collect()
+        )
+    finally:
+        counts.unpersist(blocking=False)
     return [r[0] for r in rows]
 
 

@@ -51,6 +51,26 @@ from deep_query_optimization_spark.functions import (
 )
 
 
+def _batch_matrix(v: pd.Series, dim: int) -> np.ndarray:
+    """Stack an Arrow batch of embedding arrays into a (batch × dim)
+    float matrix. Guards the two executor-side failure modes that
+    otherwise surface as opaque ValueErrors deep in the matmul: an
+    EMPTY batch (``np.array([...])`` of nothing has shape (0,), which
+    breaks ``X @ P``) and ragged/null rows (object dtype). ``np.stack``
+    raises on ragged input; we re-raise with the offending row ids so
+    the error is actionable from the driver."""
+    if len(v) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    try:
+        return np.stack([np.asarray(x, dtype=np.float64) for x in v])
+    except (ValueError, TypeError) as e:
+        lens = sorted({len(x) if x is not None else None for x in v}, key=str)
+        raise ValueError(
+            f"embedding column is ragged or has nulls: row lengths {lens} "
+            f"(expected uniform {dim}-d float arrays)"
+        ) from e
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -115,9 +135,11 @@ def _signatures_udf(plane_sets: list[list[list[float]]]):
     P = np.array(plane_sets, dtype=np.float64).reshape(n_tables * n_planes, -1).T  # dim × L·b
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
+    dim = P.shape[0]
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sigs(v: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        X = _batch_matrix(v, dim)
         bits = (X @ P) > 0  # batch × L·b
         bits = bits.reshape(len(X), n_tables, n_planes)
         out = (bits * weights).sum(axis=2)  # batch × L
@@ -168,9 +190,11 @@ def _cells_udf(cents: list[list[float]], n_cells: int):
     C = np.array(cents, dtype=np.float64)  # nlist × dim
     c2 = (C * C).sum(axis=1)
 
+    dim = C.shape[1]
+
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(v: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        X = _batch_matrix(v, dim)
         score = c2[None, :] - 2.0 * (X @ C.T)  # batch × nlist (− row-constant ‖v‖²)
         idx = np.argsort(score, axis=1)[:, :n_cells].astype(np.int32)
         return pd.Series(list(idx))

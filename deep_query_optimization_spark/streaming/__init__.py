@@ -18,10 +18,16 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# serializes shuffle-partition overrides across concurrent
+# run_available_now calls (see its docstring)
+_CONF_LOCK = threading.Lock()
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -179,7 +185,18 @@ def run_available_now(
     state parallelism should track key volume, not cluster width — a
     windowed rollup holds #windows × #group-keys entries, bounded by
     the watermark, and 32 near-empty state partitions cost 3× more
-    wall-clock than 8 full ones at sf0.1."""
+    wall-clock than 8 full ones at sf0.1.
+
+    The override temporarily mutates the session-scoped
+    ``spark.sql.shuffle.partitions`` (Spark reads it at stream start;
+    there is no per-query knob, and a stream DataFrame cannot be
+    rebound to a ``newSession()``). A module lock serializes
+    overlapping ``run_available_now`` calls so they never stomp each
+    other's conf; BATCH queries planned concurrently from other driver
+    threads during the stream's startup window would still inherit the
+    reduced count — callers running a multi-threaded driver should
+    pass ``state_partitions=None`` and size the session conf up
+    front."""
     import shutil
     import tempfile
 
@@ -187,23 +204,24 @@ def run_available_now(
     own_checkpoint = checkpoint is None
     if own_checkpoint:
         checkpoint = tempfile.mkdtemp(prefix="dqo_stream_ckpt_")
-    prev_parts = None
-    if state_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    with _CONF_LOCK:
+        prev_parts = None
+        if state_partitions is not None:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(query_name)
     if not cleanup:
         return sink

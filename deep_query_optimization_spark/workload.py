@@ -1053,21 +1053,26 @@ def q_or_multi_flatten(spark, sf_dir):
 )
 def q_salted_join_agg(spark, sf_dir):
     """Skew-mitigated equi-join, PARTIAL-salting variant
-    (functions.salted_join_hot — the production pattern): rows on the
-    designated hot keys are salted across n_salts reducers with the
-    dimension replicated only for those keys; everything else takes
-    the plain join. Result is IDENTICAL to the plain join — the oracle
-    is the plain SQL join, so both the hot and cold paths are
-    hash-checked. Full-replication salting (salted_join) and the
-    hot-key detector stay pytest-covered and measured in
-    reports/skew_report.json."""
-    from deep_query_optimization_spark.functions import salted_join_hot
+    (functions.salted_join_hot — the production pattern): the sampled
+    ``hot_keys`` detector (seeded, one sampled scan, no full-table
+    action) picks the heavy hitters; rows on those keys are salted
+    across n_salts reducers with the dimension replicated only for
+    those keys; everything else takes the plain join. The driver data
+    is near-uniform, so the detector typically finds nothing and the
+    hot set is topped up with fixed keys — both the detector path and
+    the hot/cold union stay in the contract: the result is IDENTICAL
+    to the plain join, and the oracle is the plain SQL join, so both
+    paths are hash-checked. Full-replication salting (salted_join)
+    stays pytest-covered and measured in reports/skew_report.json."""
+    from deep_query_optimization_spark.functions import hot_keys, salted_join_hot
 
     li = t(spark, sf_dir, "lineitem")
     ords = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join_hot(li, ords, "l_orderkey", n_salts=8, hot=[1, 2, 3, 4, 5, 6, 7])
+    hot = hot_keys(li, "l_orderkey", sample_fraction=0.05, seed=7)
+    hot = sorted(set(hot) | {1, 2, 3, 4, 5, 6, 7})  # ensure the salted path executes
+    joined = salted_join_hot(li, ords, "l_orderkey", n_salts=8, hot=hot)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),

@@ -1,0 +1,103 @@
+"""Generate (and incrementally checkpoint) a balanced labeled workload.
+
+Split out of ``tools/train_estimator.py`` so the expensive part — hours
+of timed query execution against live Spark — survives interruption and
+can run while training/evaluation iterates on the already-saved prefix.
+The reference's scale here is the point: its drivers target 100k labeled
+queries (``dqo/lab/drivers/uniform.py:43``); its published accuracy
+(BASELINE.md, acc 0.836) comes from corpus size + augmentation, not
+architecture alone.
+
+Resumes from an existing ``workload.csv``: previously-labeled rows are
+restored into the balancer's histogram so generation keeps filling the
+least-filled log2 buckets instead of starting over.
+
+Usage:
+    python tools/gen_workload.py [sf_dir] [n_queries] [out_dir]
+
+Env knobs (same semantics as train_estimator.py):
+    DQO_BUCKET_LO / DQO_BUCKET_HI   Log2Partitioner range (default -3..5)
+    DQO_TIMEOUT_S                   per-query watchdog (default 60)
+    DQO_BUDGET_S                    wall budget (default 7200)
+    DQO_CHECKPOINT_EVERY            save every N new rows (default 100)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
+from deep_query_optimization_spark.estimator import QueriesDataset  # noqa: E402
+from deep_query_optimization_spark.generator.guided import BalancedQueryGen  # noqa: E402
+from deep_query_optimization_spark.generator.partitioner import Log2Partitioner  # noqa: E402
+from deep_query_optimization_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.data/sf1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
+    out = Path(sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.data/est_sf1")
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / "workload.csv"
+
+    bucket_lo = int(os.environ.get("DQO_BUCKET_LO", "-3"))
+    bucket_hi = int(os.environ.get("DQO_BUCKET_HI", "5"))
+    timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "60"))
+    budget_s = float(os.environ.get("DQO_BUDGET_S", "7200"))
+    every = int(os.environ.get("DQO_CHECKPOINT_EVERY", "100"))
+
+    spark = get_spark("dqo-gen-workload")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(out / "schema.json"))
+    engine.snapshot()
+    engine.runner.timeout_s = timeout_s
+
+    bal = BalancedQueryGen(
+        engine.db,
+        engine.runner.time,
+        partitioner=Log2Partitioner(bucket_lo, bucket_hi),
+        seed=43,
+    )
+    if csv_path.exists():
+        prev = QueriesDataset.load(str(csv_path))
+        bal.restore(
+            {
+                "histogram": _restored_histogram(prev, bal),
+                "dataset": [(sql, rt) for sql, rt, _ in prev.rows],
+            }
+        )
+        print(f"resuming from {len(prev.rows)} existing rows")
+
+    deadline = time.monotonic() + budget_s
+    t0 = time.monotonic()
+    while len(bal.dataset) < n and time.monotonic() < deadline:
+        target = min(n, len(bal.dataset) + every)
+        bal.generate(target, time_budget_s=deadline - time.monotonic())
+        ds = QueriesDataset()
+        for sql, rt in bal.dataset:
+            ds.add(sql, rt)
+        ds.save(str(csv_path))
+        occupied = {b: c for b, c in sorted(bal.histogram.items()) if c}
+        print(
+            f"[{time.monotonic() - t0:7.0f}s] {len(bal.dataset)} rows, "
+            f"histogram {occupied}",
+            flush=True,
+        )
+    print(f"done: {len(bal.dataset)} rows in {time.monotonic() - t0:.0f}s -> {csv_path}")
+
+
+def _restored_histogram(prev: QueriesDataset, bal: BalancedQueryGen) -> dict[int, int]:
+    hist = {b: 0 for b in bal.partitioner.buckets}
+    lo, hi = min(hist), max(hist)
+    for b in prev.buckets():
+        hist[min(max(b, lo), hi)] += 1  # clamp rows from wider past runs
+    return hist
+
+
+if __name__ == "__main__":
+    main()
