@@ -148,6 +148,137 @@ WHERE rnk <= {k}
 """.strip()
 
 
+def _vec_lit(v) -> str:
+    """A python float list as an exact DuckDB DOUBLE[] literal
+    (``repr`` emits the shortest round-tripping decimal)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def sim_topk_lsh(
+    k: int = 5,
+    probe_max_id: int = 5,
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 13,
+    n_tables: int = 8,
+    probe_dist: int = 1,
+) -> str:
+    """Exact oracle for ``similarity.hyperplane_lsh_topk``: the
+    hyperplanes are seeded constants (``similarity.hyperplanes``), so
+    the WHOLE approximate pipeline — sign-bit signatures per table,
+    multi-probe Hamming-1 bucket expansion, bucket-local candidate
+    join, exact-cosine top-k over the candidates — is reproducible in
+    SQL with the plane vectors embedded as literals. Signature dots on
+    the Spark side come from a float64 numpy matmul and here from a
+    float64 left fold; a sign can only differ for |dot| within
+    accumulated rounding (~1e-13) of zero, which the gauss-random
+    planes make vanishingly unlikely — and the gate data is fixed, so
+    a local pass is a driver pass."""
+    from deep_query_optimization_spark.operators.similarity import hyperplanes
+
+    if probe_dist != 1:
+        raise NotImplementedError("oracle mirrors the gate's probe_dist=1")
+    plane_sets = [hyperplanes(dim, n_planes, seed + 1000 * l) for l in range(n_tables)]
+    rows = ",\n  ".join(
+        f"({l}, {j}, {_vec_lit(p)})"
+        for l, planes in enumerate(plane_sets)
+        for j, p in enumerate(planes)
+    )
+    dot = _DOT.format(a="e.embedding", b="pl.vec")
+    cos = _cos("p.embedding", "c.embedding")
+    return f"""
+WITH planes(tbl, pj, vec) AS (VALUES
+  {rows}),
+sigs AS (
+  SELECT e.vec_id, pl.tbl,
+         CAST(SUM(CASE WHEN {dot} > 0 THEN (1::BIGINT << pl.pj) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY 1, 2),
+bits AS (SELECT unnest(generate_series(-1, {n_planes - 1})) AS b),
+pb AS (
+  SELECT s.vec_id AS probe_id, s.tbl,
+         CASE WHEN bits.b < 0 THEN s.bucket
+              ELSE xor(s.bucket, (1::BIGINT << bits.b)) END AS bucket
+  FROM sigs s CROSS JOIN bits WHERE s.vec_id < {probe_max_id}),
+cand AS (
+  SELECT DISTINCT pb.probe_id, s.vec_id AS nn_id
+  FROM pb JOIN sigs s ON s.tbl = pb.tbl AND s.bucket = pb.bucket
+  WHERE s.vec_id != pb.probe_id),
+scored AS (
+  SELECT cand.probe_id, cand.nn_id, {cos} AS cos_raw
+  FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+            JOIN embeddings c ON c.vec_id = cand.nn_id)
+SELECT probe_id, nn_id, ROUND(cos_raw, 4) AS cos, rnk FROM (
+  SELECT probe_id, nn_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, nn_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= {k}
+""".strip()
+
+
+def sim_topk_ivf(
+    k: int = 5,
+    probe_max_id: int = 5,
+    nlist: int = 64,
+    nprobe: int = 6,
+    sample_n: int = 2048,
+    seed: int = 13,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Exact oracle for ``similarity.ivf_topk``: the coarse quantizer is
+    a deterministic function of the data (seeded numpy Lloyd on the
+    lowest-``sample_n`` vectors), so the builder derives the IDENTICAL
+    centroids with the shared ``lloyd_centroids`` code (sample read via
+    DuckDB, same order/limit as the operator's bounded collect) and
+    embeds them as literals; cell assignment (argmin of ‖c‖²−2v·c),
+    nprobe expansion and the cell-local exact-cosine top-k then mirror
+    the operator in SQL. Built lazily (``workload.oracle_sql`` resolves
+    callables) because it reads the gate parquet."""
+    import duckdb
+    import numpy as np
+
+    from deep_query_optimization_spark.operators.similarity import lloyd_centroids
+
+    sample = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {sample_n}"
+    ).fetchall()
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    cents = lloyd_centroids(X, nlist, iters=8, seed=seed)
+    rows = ",\n  ".join(f"({ci}, {_vec_lit(cv)})" for ci, cv in enumerate(cents))
+    dot = _DOT.format(a="e.embedding", b="cent.cvec")
+    c2 = _DOT.format(a="cent.cvec", b="cent.cvec")
+    cos = _cos("p.embedding", "c.embedding")
+    return f"""
+WITH cent(cell, cvec) AS (VALUES
+  {rows}),
+scored_cells AS (
+  SELECT e.vec_id, cent.cell, {c2} - 2 * {dot} AS score
+  FROM embeddings e CROSS JOIN cent),
+corpus_cell AS (
+  SELECT vec_id AS nn_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM scored_cells) t WHERE rn = 1),
+probe_cell AS (
+  SELECT vec_id AS probe_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+    FROM scored_cells WHERE vec_id < {probe_max_id}) t WHERE rn <= {nprobe}),
+cand AS (
+  SELECT probe_cell.probe_id, corpus_cell.nn_id
+  FROM probe_cell JOIN corpus_cell USING (cell)
+  WHERE corpus_cell.nn_id != probe_cell.probe_id),
+scored AS (
+  SELECT cand.probe_id, cand.nn_id, {cos} AS cos_raw
+  FROM cand JOIN embeddings p ON p.vec_id = cand.probe_id
+            JOIN embeddings c ON c.vec_id = cand.nn_id)
+SELECT probe_id, nn_id, ROUND(cos_raw, 4) AS cos, rnk FROM (
+  SELECT probe_id, nn_id, cos_raw,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos_raw DESC, nn_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= {k}
+""".strip()
+
+
 def _in_list(vals: tuple[str, ...]) -> str:
     return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
 

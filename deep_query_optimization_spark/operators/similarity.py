@@ -169,6 +169,13 @@ def kmeans_centroids(
         .collect()
     )
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return lloyd_centroids(X, nlist, iters, seed)
+
+
+def lloyd_centroids(X: np.ndarray, nlist: int, iters: int = 8, seed: int = 13) -> list[list[float]]:
+    """Deterministic numpy Lloyd iterations (shared by ``ivf_topk`` and
+    its DuckDB oracle builder, ``oracles.sim_topk_ivf`` — both sides
+    must derive the IDENTICAL centroids from the same bounded sample)."""
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
     for _ in range(iters):

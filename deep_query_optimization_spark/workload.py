@@ -39,13 +39,16 @@ from pyspark.sql import functions as F
 class WorkloadQuery(NamedTuple):
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; a zero-arg callable is resolved lazily by
+    # oracle_sql() (oracles whose text embeds data-derived constants,
+    # e.g. the IVF centroids); None → rows-only check
+    oracle: str | Callable[[], str] | None
 
 
 REGISTRY: dict[str, WorkloadQuery] = {}
 
 
-def register(name: str, oracle: str | None):
+def register(name: str, oracle: str | Callable[[], str] | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = WorkloadQuery(name, fn, oracle)
         return fn
@@ -727,14 +730,17 @@ def q_sim_topk_bruteforce(spark, sf_dir):
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@register("sim_topk_lsh", None)  # approximate: rows-only; recall + fraction pinned in pytest
+@register("sim_topk_lsh", _orc.sim_topk_lsh)  # exact oracle: planes are seeded constants
 def q_sim_topk_lsh(spark, sf_dir):
     """Multi-table multi-probe hyperplane LSH at the SELECTIVE
     parameterization (8 tables × 12 planes, Hamming-distance-1
     probing): ~2.5 % candidate fraction with recall@5 ≥ 0.9 in the
     high-similarity regime the index targets — both properties pinned
     in tests/test_operators.py (clustered corpus for recall, this
-    corpus for fraction)."""
+    corpus for fraction). The hyperplanes are seeded constants, so the
+    approximate pipeline itself is oracle-checked: oracles.sim_topk_lsh
+    embeds the plane literals and reproduces signatures → multi-probe
+    buckets → candidate join → exact-cosine top-k in DuckDB."""
     from deep_query_optimization_spark.operators.similarity import hyperplane_lsh_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -775,14 +781,16 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     return run_available_now(stream, name, output_mode="append", state_partitions=8)
 
 
-@register("sim_topk_ivf", None)  # approximate: rows-only; recall vs exact in pytest
+@register("sim_topk_ivf", _orc.sim_topk_ivf)  # exact oracle: centroids are data-deterministic
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse
     quantizer on a bounded sample, cell-local candidate join, at the
     selective parameterization (nlist=64, nprobe=6 → ~9 % of cells
     scanned). Data-adaptive — recall ≥0.9 AND candidate fraction
-    ≤ 10 % pinned in pytest on a clustered corpus; rows-only here
-    because the driver embeddings are adversarially near-random."""
+    ≤ 10 % pinned in pytest on a clustered corpus. The quantizer is a
+    deterministic function of the gate data (seeded Lloyd on the
+    lowest-2048 sample), so oracles.sim_topk_ivf derives the identical
+    centroids and checks the whole approximate pipeline in DuckDB."""
     from deep_query_optimization_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1138,4 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: wq.oracle for name, wq in REGISTRY.items() if wq.oracle is not None}
+    return {
+        name: (wq.oracle() if callable(wq.oracle) else wq.oracle)
+        for name, wq in REGISTRY.items()
+        if wq.oracle is not None
+    }
