@@ -230,3 +230,48 @@ def run_available_now(
     if own_checkpoint:
         shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def run_available_now_to_files(
+    stream_df: DataFrame,
+    path: str | None = None,
+    checkpoint: str | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain the stream with availableNow into a PARQUET file sink and
+    return a batch reader over the output — the production backfill
+    shape: results land as files on distributed storage and are
+    consumed by a follow-up batch scan, with NO driver-side collect
+    anywhere in the drain (the memory sink of ``run_available_now``
+    holds the whole result in the driver; fine for tests, wrong for a
+    backfill whose output is large). File sinks are append-only, so
+    this requires a watermarked append-mode query. The sink directory
+    (with its ``_spark_metadata`` transaction log) must outlive the
+    returned DataFrame — callers own cleanup; the default is a fresh
+    temp dir."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dqo_stream_out_")
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="dqo_stream_ckpt_")
+    with _CONF_LOCK:
+        prev_parts = None
+        if state_partitions is not None:
+            prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", path)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            if prev_parts is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(path)

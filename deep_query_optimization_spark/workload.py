@@ -781,6 +781,49 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     return run_available_now(stream, name, output_mode="append", state_partitions=8)
 
 
+@register(
+    "streaming_sessionize",
+    """WITH lagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       numbered AS (
+         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM lagged),
+       sess AS (
+         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                ROUND(SUM(value), 2) AS session_value
+         FROM numbered GROUP BY user_id, sess_id),
+       m AS (SELECT MAX(ts) AS mx FROM events)
+       SELECT user_id, session_start, n_events, session_value
+       FROM sess, m WHERE last_ts + INTERVAL 30 MINUTE <= mx - INTERVAL 1 HOUR""",
+)
+def q_streaming_sessionize(spark, sf_dir):
+    """Second Structured-Streaming gate row: per-user SESSION windows
+    (30-min inactivity gap, native session_window keeps state bounded
+    by the watermark), drained through the PARQUET FILE SINK
+    (streaming.run_available_now_to_files) — the production backfill
+    shape with no driver-side collect anywhere in the drain; the gate
+    result is the batch scan over the sink files. Append mode emits
+    each session once its window (last event + gap) falls behind the
+    1-hour watermark; the oracle is batch sessionization in SQL
+    (LAG/running-sum session ids) restricted to the same finalized
+    horizon. Events >= gap apart start a new session — matching
+    session_window's overlap rule ([t, t+gap) windows merge only when
+    they overlap)."""
+    from deep_query_optimization_spark.streaming import (
+        events_file_stream,
+        run_available_now_to_files,
+        sessionize,
+    )
+
+    stream = sessionize(events_file_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes")
+    return run_available_now_to_files(stream, state_partitions=8)
+
+
 @register("sim_topk_ivf", _orc.sim_topk_ivf)  # exact oracle: centroids are data-deterministic
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF ANN top-k (operators/similarity.py ivf_topk): k-means coarse

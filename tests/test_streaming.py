@@ -62,6 +62,26 @@ def test_sessionize(spark, events_dir, ckpt):
     assert total == 1000
 
 
+def test_file_sink_drain_matches_memory_drain(spark, events_dir, ckpt, tmp_path):
+    """run_available_now_to_files (parquet sink, no driver collect in
+    the drain) emits exactly the rows the memory-sink drain emits for
+    the same watermarked append query."""
+    stream = streaming.events_file_stream(spark, events_dir)
+    sess = streaming.sessionize(stream, gap="30 minutes")
+    via_files = streaming.run_available_now_to_files(
+        sess, path=str(tmp_path / "out"), checkpoint=ckpt, state_partitions=4
+    )
+    stream2 = streaming.events_file_stream(spark, events_dir)
+    via_mem = streaming.run_available_now(
+        streaming.sessionize(stream2, gap="30 minutes"),
+        "sess_files_twin",
+        str(tmp_path / "ckpt2"),
+        output_mode="append",
+    )
+    key = lambda r: (r["user_id"], r["session_start"], r["n_events"], r["session_value"])  # noqa: E731
+    assert sorted(map(key, via_files.collect())) == sorted(map(key, via_mem.collect()))
+
+
 def test_sliding_rollup_pane_multiplicity(spark, events_dir, ckpt):
     stream = streaming.events_file_stream(spark, events_dir)
     out = streaming.run_available_now(
