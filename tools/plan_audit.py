@@ -15,6 +15,7 @@ plus a summary; exit 1 on violations.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -37,6 +38,7 @@ NON_EQUI_OK = {
 }
 # queries that read no base table with filterable columns
 NO_PUSHDOWN_EXPECTED = {
+    "streaming_sessionize",  # result = batch scan of the stream's file-sink output
     "not_exists_anti",
     "outer_join",
     "derived_table",
@@ -88,7 +90,8 @@ def main() -> int:
             print(f"{'ok (folded empty)':28s} {name:28s}")
             continue
 
-        has_filter_words = wq.oracle and " WHERE " in wq.oracle
+        oracle = wq.oracle() if callable(wq.oracle) else wq.oracle
+        has_filter_words = oracle and " WHERE " in oracle
         if has_filter_words and not s["pushed_filters"] and name not in NO_PUSHDOWN_EXPECTED:
             notes.append("NO-PUSHDOWN")
         bad_nlj = counts.get("CartesianProduct", 0) + counts.get("BroadcastNestedLoopJoin", 0)
@@ -96,6 +99,20 @@ def main() -> int:
             notes.append(f"NESTED-LOOP x{bad_nlj}")
         if not counts.get("WholeStageCodegen", 0) and name != "multimodal_decode":
             notes.append("NO-CODEGEN")
+        if name == "bucketed_join_agg":
+            # the zero-Exchange claim, asserted in the audit itself: the
+            # only shuffle allowed is the post-join groupBy's — a second
+            # Exchange means a join input shuffled, i.e. the bucketed
+            # layout was not used
+            if counts.get("Exchange", 0) > 1:
+                notes.append(f"BUCKETED-SHUFFLE x{counts.get('Exchange', 0)}")
+            # at scale (sf1+, where AQE no longer broadcasts) the join
+            # must be the bucket-local SortMergeJoin; opt in via env
+            # because at sf0.01 the broadcast conversion is the right plan
+            if os.environ.get("DQO_EXPECT_BUCKETED_SMJ") == "1" and not counts.get(
+                "SortMergeJoin", 0
+            ):
+                notes.append("NO-BUCKETED-SMJ")
 
         flag = "VIOLATION " + ",".join(notes) if notes else "ok"
         joins = {k: v for k, v in counts.items() if "Join" in k or k == "CartesianProduct"}
