@@ -26,6 +26,35 @@ import numpy as np
 from deep_query_optimization_spark.plans.encoder import NODE_TYPES
 
 
+def _fit_loop(model, plans, runtimes, epochs, lr, log_every, batch_size, seed) -> list[float]:
+    """Shared training loop: full-batch when ``batch_size`` is None
+    (the original behavior), else seeded-shuffle mini-batches — many
+    more Adam updates per pass, which is what makes convergence
+    practical on multi-thousand-row corpora (one full-batch step per
+    epoch needs hundreds of epochs; 64-row batches reach the same loss
+    in a tenth of the wall-clock)."""
+    import random as _random
+
+    targets = [math.log2(max(t, 1e-3)) for t in runtimes]
+    losses: list[float] = []
+    rng = _random.Random(seed)
+    idx = list(range(len(plans)))
+    for e in range(epochs):
+        if batch_size and batch_size < len(idx):
+            rng.shuffle(idx)
+            total, n_batches = 0.0, 0
+            for s in range(0, len(idx), batch_size):
+                b = idx[s : s + batch_size]
+                total += model.train_step([plans[i] for i in b], [targets[i] for i in b], lr)
+                n_batches += 1
+            losses.append(total / max(n_batches, 1))
+        else:
+            losses.append(model.train_step(plans, targets, lr))
+        if log_every and (e + 1) % log_every == 0:
+            print(f"epoch {e + 1}: loss {losses[-1]:.4f}", flush=True)
+    return losses
+
+
 def smooth_l1(err: np.ndarray, beta: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
     """(loss, dloss/derr) — reference uses SmoothL1 (v20/model.py:124)."""
     a = np.abs(err)
@@ -123,14 +152,17 @@ class MLPCostModel:
                 self._adam(name, getattr(self, name), g, lr)
         return total_loss / max(n, 1)
 
-    def fit(self, plans, runtimes, epochs: int = 200, lr: float = 1e-3, log_every: int = 0) -> list[float]:
-        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
-        losses = []
-        for e in range(epochs):
-            losses.append(self.train_step(plans, targets, lr))
-            if log_every and (e + 1) % log_every == 0:
-                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
-        return losses
+    def fit(
+        self,
+        plans,
+        runtimes,
+        epochs: int = 200,
+        lr: float = 1e-3,
+        log_every: int = 0,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> list[float]:
+        return _fit_loop(self, plans, runtimes, epochs, lr, log_every, batch_size, seed)
 
     # -- persistence ---------------------------------------------------
 
@@ -333,14 +365,17 @@ class GRUCostModel:
             self._adam(name, g * scale, lr)
         return total / n_samples
 
-    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
-        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
-        losses = []
-        for e in range(epochs):
-            losses.append(self.train_step(plans, targets, lr))
-            if log_every and (e + 1) % log_every == 0:
-                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
-        return losses
+    def fit(
+        self,
+        plans,
+        runtimes,
+        epochs: int = 300,
+        lr: float = 2e-3,
+        log_every: int = 0,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> list[float]:
+        return _fit_loop(self, plans, runtimes, epochs, lr, log_every, batch_size, seed)
 
     # -- persistence ---------------------------------------------------
 
@@ -700,14 +735,17 @@ class TreeLSTMCostModel:
             self._adam(name, g * scale, lr)
         return total / n_samples
 
-    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
-        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
-        losses = []
-        for e in range(epochs):
-            losses.append(self.train_step(plans, targets, lr))
-            if log_every and (e + 1) % log_every == 0:
-                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
-        return losses
+    def fit(
+        self,
+        plans,
+        runtimes,
+        epochs: int = 300,
+        lr: float = 2e-3,
+        log_every: int = 0,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> list[float]:
+        return _fit_loop(self, plans, runtimes, epochs, lr, log_every, batch_size, seed)
 
     def save(self, path: str) -> None:
         blob = {
@@ -850,14 +888,17 @@ class CNNCostModel:
             self._adam(name, g * scale, lr)
         return total / n_samples
 
-    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
-        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
-        losses = []
-        for e in range(epochs):
-            losses.append(self.train_step(plans, targets, lr))
-            if log_every and (e + 1) % log_every == 0:
-                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
-        return losses
+    def fit(
+        self,
+        plans,
+        runtimes,
+        epochs: int = 300,
+        lr: float = 2e-3,
+        log_every: int = 0,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> list[float]:
+        return _fit_loop(self, plans, runtimes, epochs, lr, log_every, batch_size, seed)
 
     def save(self, path: str) -> None:
         blob = {

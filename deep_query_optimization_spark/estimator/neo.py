@@ -18,7 +18,7 @@ import math
 
 import numpy as np
 
-from deep_query_optimization_spark.estimator.model import smooth_l1
+from deep_query_optimization_spark.estimator.model import _fit_loop, smooth_l1
 
 
 class NeoEncoder:
@@ -119,14 +119,17 @@ class NeoCostModel:
             self._adam(name, g * scale, lr)
         return total / n_samples
 
-    def fit(self, plans, runtimes, epochs: int = 300, lr: float = 2e-3, log_every: int = 0) -> list[float]:
-        targets = [math.log2(max(t, 1e-3)) for t in runtimes]
-        losses = []
-        for e in range(epochs):
-            losses.append(self.train_step(plans, targets, lr))
-            if log_every and (e + 1) % log_every == 0:
-                print(f"epoch {e + 1}: loss {losses[-1]:.4f}")
-        return losses
+    def fit(
+        self,
+        plans,
+        runtimes,
+        epochs: int = 300,
+        lr: float = 2e-3,
+        log_every: int = 0,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> list[float]:
+        return _fit_loop(self, plans, runtimes, epochs, lr, log_every, batch_size, seed)
 
     def save(self, path: str) -> None:
         blob = {"kind": "neo", "in_dim": self.in_dim}

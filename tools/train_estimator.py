@@ -22,6 +22,21 @@ are reachable):
     DQO_BUCKET_LO / DQO_BUCKET_HI   Log2Partitioner range (default -3..2)
     DQO_TIMEOUT_S                   per-query watchdog (default 30)
     DQO_BUDGET_S                    workload-gen wall budget (default 420)
+    DQO_EPOCHS / DQO_BATCH / DQO_LR training loop (default 150 / full / 2e-3)
+    DQO_AUG                         equivalent-emission augmentation factor for
+                                    the TRAIN split (default 0 = off): each
+                                    train query contributes up to N-1 extra
+                                    permuted/flipped emissions with the same
+                                    runtime label (reference DatasetAugmenter,
+                                    ``datasets/__init__.py:177-209`` — its
+                                    best published results are aug-trained,
+                                    BASELINE.md). Plan-vector encoders DO see
+                                    different vectors per variant (flipped
+                                    operands/join sides encode differently);
+                                    the set-based MSCN/Neo encoders are
+                                    emission-order invariant, so augmentation
+                                    is skipped for those two families.
+    DQO_FAMILIES                    comma list to train (default: all eight)
 """
 
 from __future__ import annotations
@@ -103,24 +118,61 @@ def main() -> None:
     )
 
     train, test = ds.stratified_split(0.2, seed=0)
-    enc_train = [engine.encode_sql(sql) for sql, _, _ in train.rows]
+
+    # -- augmentation (train split only) -------------------------------
+    aug_n = int(os.environ.get("DQO_AUG", "0"))
+    aug_rows: list[tuple[str, float]] = []
+    if aug_n > 1:
+        from deep_query_optimization_spark.generator.augment import permutations
+
+        t0 = time.time()
+        import random as _random
+
+        aug_rng = _random.Random(7)
+        for sql, rt, _ in train.rows:
+            try:
+                q = engine.parse(sql)
+                # [0] is the canonical emission == the original row
+                for variant in permutations(q, limit=aug_n, seed=aug_rng.randint(0, 2**31))[1:]:
+                    aug_rows.append((variant, rt))
+            except Exception as e:  # unparseable corner (e.g. timeout-censored leftovers)
+                print(f"augment skip: {e}")
+        print(f"augmented: +{len(aug_rows)} emissions in {time.time() - t0:.0f}s")
+
+    t0 = time.time()
+    train_sqls = [(sql, rt) for sql, rt, _ in train.rows] + aug_rows
+    enc_train = [engine.encode_sql(sql) for sql, _ in train_sqls]
     enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
-    tree_train = [engine.encode_sql_tree(sql) for sql, _, _ in train.rows]
+    tree_train = [engine.encode_sql_tree(sql) for sql, _ in train_sqls]
     tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
     from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
     from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
 
     menc = MSCNEncoder(engine.db)
     nenc = NeoEncoder(engine.db)
+    # set-based encoders are emission-order invariant — augmented
+    # variants encode identically, so mscn/neo train on originals only
     ir_train = [engine.parse(sql) for sql, _, _ in train.rows]
     ir_test = [engine.parse(sql) for sql, _, _ in test.rows]
     mscn_train = [menc.encode(q) for q in ir_train]
     mscn_test = [menc.encode(q) for q in ir_test]
     neo_train = [nenc.encode(q) for q in ir_train]
     neo_test = [nenc.encode(q) for q in ir_test]
-    rt_train = [r for _, r, _ in train.rows]
+    rt_train = [rt for _, rt in train_sqls]
+    rt_train_orig = [r for _, r, _ in train.rows]
+    print(f"encoded {len(train_sqls)} train (+{len(test.rows)} test) plans in {time.time() - t0:.0f}s")
 
-    report: dict = {"n": len(ds.rows), "bucket_histogram": occupied, "models": {}}
+    epochs = int(os.environ.get("DQO_EPOCHS", "150"))
+    batch = int(os.environ.get("DQO_BATCH", "0")) or None
+    lr = float(os.environ.get("DQO_LR", "2e-3"))
+    report: dict = {
+        "n": len(ds.rows),
+        "bucket_histogram": occupied,
+        "augmented_rows": len(aug_rows),
+        "epochs": epochs,
+        "batch_size": batch,
+        "models": {},
+    }
     families = {
         "linear": LinearCostModel(),
         "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
@@ -131,29 +183,34 @@ def main() -> None:
         "mscn": MSCNCostModel(widths=menc.widths, seed=0),
         "neo": NeoCostModel(in_dim=nenc.width, seed=0),
     }
+    only = os.environ.get("DQO_FAMILIES")
+    if only:
+        keep = {f.strip() for f in only.split(",")}
+        families = {k: v for k, v in families.items() if k in keep}
+    train_rows_aug = [(sql, rt, "") for sql, rt in train_sqls]
     for fam, model in families.items():
         t0 = time.time()
         if fam in ("treelstm", "gerelt4"):
-            tr, te = tree_train, tree_test
+            tr, te, rts, tr_rows = tree_train, tree_test, rt_train, train_rows_aug
         elif fam == "mscn":
-            tr, te = mscn_train, mscn_test
+            tr, te, rts, tr_rows = mscn_train, mscn_test, rt_train_orig, train.rows
         elif fam == "neo":
-            tr, te = neo_train, neo_test
+            tr, te, rts, tr_rows = neo_train, neo_test, rt_train_orig, train.rows
         else:
-            tr, te = enc_train, enc_test
+            tr, te, rts, tr_rows = enc_train, enc_test, rt_train, train_rows_aug
         if fam == "linear":
-            model.fit(tr, rt_train)
+            model.fit(tr, rts)
         else:
-            model.fit(tr, rt_train, epochs=150, lr=2e-3)
+            model.fit(tr, rts, epochs=epochs, lr=lr, batch_size=batch)
         res = {
-            "train": evaluate(model, tr, train.rows),
+            "train": evaluate(model, tr, tr_rows),
             "test": evaluate(model, te, test.rows),
             "fit_seconds": round(time.time() - t0, 1),
         }
         report["models"][fam] = res
         if hasattr(model, "save"):
             model.save(str(out / f"model_{fam}.json"))
-        print(f"{fam:7s} test: {({k: round(v, 3) for k, v in res['test'].items()})}")
+        print(f"{fam:7s} test: {({k: round(v, 3) for k, v in res['test'].items()})}", flush=True)
 
     with open(out / "report.json", "w") as f:
         json.dump(report, f, indent=1)
