@@ -32,7 +32,7 @@ import os
 import random
 import threading
 import time
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -47,11 +47,15 @@ DEFAULT_TIMEOUT_S = 600.0  # reference postgres.py:244
 class QueryLog:
     """Rotating CSV logger of ("query", runtime, "plan") rows
     (reference ``dqo/log_utils/__init__.py`` + the CSV schema of
-    ``ExtendedQueriesDataset``)."""
+    ``ExtendedQueriesDataset``). With ``with_predictions`` a fourth
+    ``predicted`` column records the cost model's estimate alongside
+    the measured runtime — the reference's end state (estimation
+    serving execution), and the raw material for calibration reports."""
 
-    def __init__(self, path: str, max_rows: int = 10_000) -> None:
+    def __init__(self, path: str, max_rows: int = 10_000, with_predictions: bool = False) -> None:
         self.base = Path(path)
         self.max_rows = max_rows
+        self.with_predictions = with_predictions
         self._rows_in_file = 0
         self._index = 0
         self.base.parent.mkdir(parents=True, exist_ok=True)
@@ -61,7 +65,7 @@ class QueryLog:
             return self.base
         return self.base.with_suffix(f".{self._index}{self.base.suffix}")
 
-    def append(self, sql: str, runtime: float, plan: str = "") -> None:
+    def append(self, sql: str, runtime: float, plan: str = "", predicted: float | None = None) -> None:
         if self._rows_in_file >= self.max_rows:
             self._index += 1
             self._rows_in_file = 0
@@ -69,8 +73,14 @@ class QueryLog:
         with open(self._current(), "a", newline="") as f:
             w = csv.writer(f)
             if new:
-                w.writerow(["query", "runtime", "plan"])
-            w.writerow([sql, runtime, plan])
+                header = ["query", "runtime", "plan"]
+                if self.with_predictions:
+                    header.append("predicted")
+                w.writerow(header)
+            row = [sql, runtime, plan]
+            if self.with_predictions:
+                row.append("" if predicted is None else predicted)
+            w.writerow(row)
         self._rows_in_file += 1
 
 
@@ -87,6 +97,20 @@ class SparkQueryRunner:
     timeout_s: float = DEFAULT_TIMEOUT_S
     log: QueryLog | None = None
     group_prefix: str = "dqo-lab"
+    # optional cost-model hook (e.g. ``engine.estimate``): every timed
+    # run then logs (query, predicted, actual) — estimation serving
+    # execution, per-query scoring driver-side; bulk scoring of a whole
+    # encoded workload goes through the Arrow-batched ``predict_udf``
+    # instead (tools/calibration_report.py)
+    predictor: Callable[[str], float] | None = None
+
+    def _predict(self, sql: str) -> float | None:
+        if self.predictor is None:
+            return None
+        try:
+            return float(self.predictor(sql))
+        except Exception:
+            return None  # a scoring failure must never fail the run
 
     def _run_timed(self, df: DataFrame) -> float:
         """Timed noop-sink run. A query canceled by the watchdog
@@ -124,11 +148,12 @@ class SparkQueryRunner:
         if self.clear_cache:
             self.spark.catalog.clearCache()
         df = self.spark.sql(sql)
+        pred = self._predict(sql)
         runtime = self._run_timed(df)
         if self.double_run:
             runtime = self._run_timed(df)
         if self.log is not None:
-            self.log.append(sql, runtime)
+            self.log.append(sql, runtime, predicted=pred)
         return runtime
 
     def analyze(self, sql: str) -> tuple[float, str, str]:
@@ -137,12 +162,13 @@ class SparkQueryRunner:
         if self.clear_cache:
             self.spark.catalog.clearCache()
         df = self.spark.sql(sql)
+        pred = self._predict(sql)
         runtime = self._run_timed(df)
         qe = df._jdf.queryExecution()
         plan_json = qe.optimizedPlan().toJSON()
         physical = qe.executedPlan().toString()
         if self.log is not None:
-            self.log.append(sql, runtime, plan_json)
+            self.log.append(sql, runtime, plan_json, predicted=pred)
         return runtime, plan_json, physical
 
     def time_query(self, query: Query) -> float:

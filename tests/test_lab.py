@@ -93,6 +93,19 @@ def test_runner_contradiction_short_circuit(spark, tables, tmp_path):
     assert rows[1][2] == "CONTRADICTION"
 
 
+def test_runner_logs_predictions(spark, tables, tmp_path):
+    """With a predictor attached, every timed run logs the (query,
+    predicted, actual) triple — estimation serving execution."""
+    log = QueryLog(str(tmp_path / "pred.csv"), with_predictions=True)
+    runner = SparkQueryRunner(spark, clear_cache=False, log=log, predictor=lambda sql: 0.125)
+    rt = runner.time("SELECT MIN(l_quantity) AS m FROM lineitem")
+    assert rt > 0
+    with open(tmp_path / "pred.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["query", "runtime", "plan", "predicted"]
+    assert float(rows[1][3]) == 0.125
+
+
 def test_runner_times_real_query(spark, tables, tmp_path):
     runner = SparkQueryRunner(spark, clear_cache=False, log=QueryLog(str(tmp_path / "log.csv")))
     rt = runner.time("SELECT MIN(l_quantity) AS m FROM lineitem WHERE l_orderkey > 100")
