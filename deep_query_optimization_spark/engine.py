@@ -172,14 +172,15 @@ class DQOEngine:
 
     def estimate(self, sql: str) -> float:
         """Predicted runtime (seconds) for a query — the reference's
-        whole reason to exist, served from the live engine."""
+        whole reason to exist, served from the live engine. Structural
+        models (TreeLSTM, Gerelt4) are detected by their ``children``
+        forward argument and fed the tree encoding."""
         if self.model is None:
             raise RuntimeError("train_estimator first")
-        encode = (
-            self.encode_sql_tree
-            if getattr(self, "_model_family", "mlp") == "treelstm"
-            else self.encode_sql
-        )
+        import inspect
+
+        needs_children = "children" in inspect.signature(self.model.forward).parameters
+        encode = self.encode_sql_tree if needs_children else self.encode_sql
         pred_log2 = self.model.predict([encode(sql)])[0]
         return float(2.0 ** np.clip(pred_log2, -10, 20))
 

@@ -1,0 +1,142 @@
+"""Measure learned-cost join-order hints against Catalyst defaults.
+
+For N generated multi-join queries: emit the canonical SQL (what the
+workload generator would run — Catalyst's default join order) and the
+estimator-chosen reordering (``plans.hints.reorder_by_estimate``), time
+both, and report per-query + aggregate results.
+
+Usage:
+    python tools/hint_report.py [sf_dir] [est_dir] [family] [n] [out_json]
+
+``est_dir`` must hold a trained ``model_<family>.json`` + schema.json
+(train_estimator.py output); ``family`` defaults to the best structural
+model recorded in ``report.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
+from deep_query_optimization_spark.estimator.model import (  # noqa: E402
+    Gerelt4CostModel,
+    GRUCostModel,
+    MLPCostModel,
+    TreeLSTMCostModel,
+)
+from deep_query_optimization_spark.generator import RandomQueryGen  # noqa: E402
+from deep_query_optimization_spark.plans.hints import reorder_by_estimate  # noqa: E402
+from deep_query_optimization_spark.session import get_spark  # noqa: E402
+
+LOADERS = {
+    "mlp": MLPCostModel,
+    "gru": GRUCostModel,
+    "gerelt4": Gerelt4CostModel,
+    "treelstm": TreeLSTMCostModel,
+}
+
+
+def pick_family(est_dir: Path) -> str:
+    try:
+        with open(est_dir / "report.json") as f:
+            report = json.load(f)
+        scored = {
+            fam: m["test"].get("accuracy", 0.0)
+            for fam, m in report["models"].items()
+            if fam in LOADERS and (est_dir / f"model_{fam}.json").exists()
+        }
+        return max(scored, key=scored.get)
+    except (OSError, KeyError, ValueError):
+        return "gru"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.data/sf1"
+    est_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.data/est_sf1")
+    family = sys.argv[3] if len(sys.argv) > 3 else "auto"
+    n = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+    out_json = sys.argv[5] if len(sys.argv) > 5 else "reports/learned_hints_sf1.json"
+
+    if family == "auto":
+        family = pick_family(est_dir)
+    model = LOADERS[family].load(str(est_dir / f"model_{family}.json"))
+
+    spark = get_spark("dqo-hints")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(est_dir / "schema.json"))
+    engine.snapshot()
+    engine.model = model
+    engine.runner.timeout_s = 120.0
+
+    # multi-join candidates: scan seeds until n queries join >= 3 tables
+    queries = []
+    seed = 1000
+    while len(queries) < n and seed < 1000 + 400:
+        gen = RandomQueryGen(engine.db, seed=seed, max_tables=4, max_conditions=6)
+        q = gen.randomize()
+        if len(q.relations) >= 3:
+            queries.append((seed, q))
+        seed += 1
+
+    rows = []
+    for qseed, q in queries:
+        default_sql = q.to_sql()
+        chosen_sql, scored = reorder_by_estimate(engine, q, limit=6, seed=qseed)
+        est_default = scored[0][0]
+        est_chosen = min(s for s, _ in scored)
+        # interleaved double measurement: second timing kept for both
+        # (JIT/page-cache discipline), default first then chosen
+        engine.runner.time(default_sql)
+        t_default = engine.runner.time(default_sql)
+        if chosen_sql == default_sql:
+            t_chosen = t_default
+        else:
+            engine.runner.time(chosen_sql)
+            t_chosen = engine.runner.time(chosen_sql)
+        rows.append(
+            {
+                "seed": qseed,
+                "n_relations": len(q.relations),
+                "default_s": round(t_default, 3),
+                "hinted_s": round(t_chosen, 3),
+                "est_default_s": round(est_default, 3),
+                "est_hinted_s": round(est_chosen, 3),
+                "reordered": chosen_sql != default_sql,
+                "speedup": round(t_default / max(t_chosen, 1e-6), 3),
+                "default_sql": default_sql,
+                "hinted_sql": chosen_sql,
+            }
+        )
+        print(
+            f"seed {qseed}: default {t_default:.2f}s hinted {t_chosen:.2f}s "
+            f"(est {est_default:.2f} -> {est_chosen:.2f}, "
+            f"{'reordered' if chosen_sql != default_sql else 'kept'})",
+            flush=True,
+        )
+
+    reordered = [r for r in rows if r["reordered"]]
+    kept = [r for r in rows if not r["reordered"]]
+    summary = {
+        "family": family,
+        "n_queries": len(rows),
+        "n_reordered": len(reordered),
+        "total_default_s": round(sum(r["default_s"] for r in rows), 2),
+        "total_hinted_s": round(sum(r["hinted_s"] for r in rows), 2),
+        "reordered_speedups": sorted(r["speedup"] for r in reordered),
+        "regressions_gt_10pct": sum(1 for r in reordered if r["speedup"] < 0.9),
+    }
+    report = {"summary": summary, "queries": rows, "generated_at": time.strftime("%Y-%m-%d")}
+    Path(out_json).parent.mkdir(parents=True, exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(summary))
+    print(f"-> {out_json}")
+
+
+if __name__ == "__main__":
+    main()
