@@ -278,3 +278,49 @@ def test_augment_degenerate_single_emission(db):
     q.add_projection(Projection(ColumnRef(p, "p_partkey", DataType.NUMBER), "MIN"))
     q.add_condition(Condition(ColumnRef(p, "p_name", DataType.STRING), "LIKE", "%x%"))
     assert permutations(q, limit=8, seed=0) == [q.to_sql()]
+
+
+def test_hints_order_variants_and_choice(db):
+    """plans.hints: FROM-order variants differ ONLY in join order, the
+    canonical emission is first, and reorder_by_estimate picks the
+    argmin-estimate variant (fake estimator keyed on emission order)."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import order_variants, reorder_by_estimate
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Condition,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o, c = TableRef("lineitem"), TableRef("orders"), TableRef("customer")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER)))
+    q.add_join(Join(ColumnRef(o, "o_custkey", DataType.NUMBER), ColumnRef(c, "c_custkey", DataType.NUMBER)))
+    q.add_condition(Condition(ColumnRef(c, "c_acctbal", DataType.FLOAT), ">", 100.0))
+
+    variants = order_variants(q, limit=6)
+    assert variants[0] == q.to_sql()
+    assert len(variants) == 6  # 3! orderings of the FROM clause
+    assert len(set(variants)) == 6
+    # join-order-only: same predicates in every variant, same SELECT list
+    select, where = variants[0].split(" FROM ")[0], variants[0].split(" WHERE ")[1]
+    for v in variants[1:]:
+        assert v.split(" FROM ")[0] == select
+        assert v.split(" WHERE ")[1] == where
+
+    class FakeEngine:
+        def __init__(self, costs):
+            self.costs = costs
+
+        def estimate(self, sql):
+            return self.costs[sql]
+
+    costs = {sql: float(i) for i, sql in enumerate(variants)}
+    costs[variants[3]] = -1.0  # cheapest
+    chosen, scored = reorder_by_estimate(FakeEngine(costs), q, limit=6)
+    assert chosen == variants[3]
+    assert len(scored) == 6
