@@ -119,10 +119,20 @@ def main() -> None:
 
     train, test = ds.stratified_split(0.2, seed=0)
 
+    # which families run decides which encodings are worth computing —
+    # a single-family run (tools/train_parallel.py fans one process out
+    # per family) must not pay for the other encoders' Spark round-trips
+    all_fams = ("linear", "mlp", "gru", "cnn", "treelstm", "gerelt4", "mscn", "neo")
+    only = os.environ.get("DQO_FAMILIES")
+    selected = {f.strip() for f in only.split(",")} & set(all_fams) if only else set(all_fams)
+    need_vec = bool(selected & {"linear", "mlp", "gru", "cnn"})
+    need_tree = bool(selected & {"treelstm", "gerelt4"})
+    need_set = bool(selected & {"mscn", "neo"})
+
     # -- augmentation (train split only) -------------------------------
     aug_n = int(os.environ.get("DQO_AUG", "0"))
     aug_rows: list[tuple[str, float]] = []
-    if aug_n > 1:
+    if aug_n > 1 and (need_vec or need_tree):
         from deep_query_optimization_spark.generator.augment import permutations
 
         t0 = time.time()
@@ -141,23 +151,28 @@ def main() -> None:
 
     t0 = time.time()
     train_sqls = [(sql, rt) for sql, rt, _ in train.rows] + aug_rows
-    enc_train = [engine.encode_sql(sql) for sql, _ in train_sqls]
-    enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
-    tree_train = [engine.encode_sql_tree(sql) for sql, _ in train_sqls]
-    tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
+    enc_train = enc_test = tree_train = tree_test = None
+    mscn_train = mscn_test = neo_train = neo_test = None
+    if need_vec:
+        enc_train = [engine.encode_sql(sql) for sql, _ in train_sqls]
+        enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
+    if need_tree:
+        tree_train = [engine.encode_sql_tree(sql) for sql, _ in train_sqls]
+        tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
     from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
     from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
 
     menc = MSCNEncoder(engine.db)
     nenc = NeoEncoder(engine.db)
-    # set-based encoders are emission-order invariant — augmented
-    # variants encode identically, so mscn/neo train on originals only
-    ir_train = [engine.parse(sql) for sql, _, _ in train.rows]
-    ir_test = [engine.parse(sql) for sql, _, _ in test.rows]
-    mscn_train = [menc.encode(q) for q in ir_train]
-    mscn_test = [menc.encode(q) for q in ir_test]
-    neo_train = [nenc.encode(q) for q in ir_train]
-    neo_test = [nenc.encode(q) for q in ir_test]
+    if need_set:
+        # set-based encoders are emission-order invariant — augmented
+        # variants encode identically, so mscn/neo train on originals only
+        ir_train = [engine.parse(sql) for sql, _, _ in train.rows]
+        ir_test = [engine.parse(sql) for sql, _, _ in test.rows]
+        mscn_train = [menc.encode(q) for q in ir_train]
+        mscn_test = [menc.encode(q) for q in ir_test]
+        neo_train = [nenc.encode(q) for q in ir_train]
+        neo_test = [nenc.encode(q) for q in ir_test]
     rt_train = [rt for _, rt in train_sqls]
     rt_train_orig = [r for _, r, _ in train.rows]
     print(f"encoded {len(train_sqls)} train (+{len(test.rows)} test) plans in {time.time() - t0:.0f}s")
@@ -183,10 +198,7 @@ def main() -> None:
         "mscn": MSCNCostModel(widths=menc.widths, seed=0),
         "neo": NeoCostModel(in_dim=nenc.width, seed=0),
     }
-    only = os.environ.get("DQO_FAMILIES")
-    if only:
-        keep = {f.strip() for f in only.split(",")}
-        families = {k: v for k, v in families.items() if k in keep}
+    families = {k: v for k, v in families.items() if k in selected}
     train_rows_aug = [(sql, rt, "") for sql, rt in train_sqls]
     for fam, model in families.items():
         t0 = time.time()
@@ -214,10 +226,10 @@ def main() -> None:
 
     with open(out / "report.json", "w") as f:
         json.dump(report, f, indent=1)
-    engine.model = families["mlp"]
-
-    sql = "SELECT MIN(l.l_extendedprice) FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey"
-    print(f"estimate({sql[:50]}...) -> {engine.estimate(sql):.3f}s, bucket {engine.estimate_bucket(sql)}")
+    if "mlp" in families:
+        engine.model = families["mlp"]
+        sql = "SELECT MIN(l.l_extendedprice) FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey"
+        print(f"estimate({sql[:50]}...) -> {engine.estimate(sql):.3f}s, bucket {engine.estimate_bucket(sql)}")
 
 
 if __name__ == "__main__":
