@@ -20,6 +20,11 @@ Env knobs (same semantics as train_estimator.py):
     DQO_TIMEOUT_S                   per-query watchdog (default 60)
     DQO_BUDGET_S                    wall budget (default 7200)
     DQO_CHECKPOINT_EVERY            save every N new rows (default 100)
+    DQO_GEN_SEED                    balancer seed (default 43) — run two
+                                    generators with different seeds into
+                                    different out dirs and concatenate the
+                                    CSVs to double labeling throughput
+                                    (single queries rarely saturate 32 cores)
 """
 
 from __future__ import annotations
@@ -50,6 +55,7 @@ def main() -> None:
     timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "60"))
     budget_s = float(os.environ.get("DQO_BUDGET_S", "7200"))
     every = int(os.environ.get("DQO_CHECKPOINT_EVERY", "100"))
+    gen_seed = int(os.environ.get("DQO_GEN_SEED", "43"))
 
     spark = get_spark("dqo-gen-workload")
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,7 +67,7 @@ def main() -> None:
         engine.db,
         engine.runner.time,
         partitioner=Log2Partitioner(bucket_lo, bucket_hi),
-        seed=43,
+        seed=gen_seed,
     )
     if csv_path.exists():
         prev = QueriesDataset.load(str(csv_path))
