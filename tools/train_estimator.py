@@ -37,6 +37,24 @@ are reachable):
                                     emission-order invariant, so augmentation
                                     is skipped for those two families.
     DQO_FAMILIES                    comma list to train (default: all eight)
+    DQO_TEST_CSV                    external held-out test set: the whole
+                                    workload.csv becomes train and test rows
+                                    load from this CSV instead of an internal
+                                    split (tools/split_workload.py +
+                                    tools/relabel_workload.py produce a
+                                    clean-label test file — corpus labels
+                                    timed under generator contention have
+                                    measured ~0.47 bucket agreement with a
+                                    re-run, so scoring against them caps
+                                    measurable accuracy below model skill)
+    DQO_CALIB_CSV                   small quiet-relabeled calibration set:
+                                    per family, fit pred' = a*pred + b by
+                                    least squares against the calib labels
+                                    and score the test set with calibrated
+                                    predictions (removes the systematic
+                                    loaded-vs-quiet timing shift the train
+                                    labels carry). Reported beside the raw
+                                    metrics, never in place of them.
 """
 
 from __future__ import annotations
@@ -64,15 +82,31 @@ from deep_query_optimization_spark.generator.partitioner import Log2Partitioner 
 from deep_query_optimization_spark.session import get_spark  # noqa: E402
 
 
-def evaluate(model, plans, rows) -> dict:
+def evaluate(model, plans, rows, affine=None) -> dict:
     if not rows:
         return {}
     preds = model.predict(plans)
+    if affine is not None:
+        a, b = affine
+        preds = [a * p + b for p in preds]
     buckets = [bucketize(r) for _, r, _ in rows]
     pred_buckets = [int(np.clip(round(p), -3, 8)) for p in preds]
     m = mcc_metrics(buckets, pred_buckets)
     m["mae"] = mae(buckets, pred_buckets)
     return m
+
+
+def fit_affine(model, calib_plans, calib_rows) -> tuple[float, float]:
+    """Least-squares pred -> clean-label bucket scale on the calib set."""
+    import math
+
+    preds = np.asarray(model.predict(calib_plans), dtype=float)
+    target = np.asarray(
+        [math.log2(max(r, 1e-4)) for _, r, _ in calib_rows], dtype=float
+    )
+    A = np.stack([preds, np.ones_like(preds)], axis=1)
+    (a, b), *_ = np.linalg.lstsq(A, target, rcond=None)
+    return float(a), float(b)
 
 
 def main() -> None:
@@ -117,7 +151,22 @@ def main() -> None:
         f"bucket histogram {occupied} ({len(occupied)} occupied)"
     )
 
-    train, test = ds.stratified_split(0.2, seed=0)
+    test_csv = os.environ.get("DQO_TEST_CSV")
+    calib_csv = os.environ.get("DQO_CALIB_CSV")
+    calib = None
+    if test_csv:
+        from deep_query_optimization_spark.estimator import QueriesDataset
+
+        train = ds
+        test = QueriesDataset.load(test_csv)
+        if calib_csv:
+            calib = QueriesDataset.load(calib_csv)
+        print(
+            f"external split: train {len(train.rows)} / test {len(test.rows)}"
+            + (f" / calib {len(calib.rows)}" if calib else "")
+        )
+    else:
+        train, test = ds.stratified_split(0.2, seed=0)
 
     # which families run decides which encodings are worth computing —
     # a single-family run (tools/train_parallel.py fans one process out
@@ -153,12 +202,17 @@ def main() -> None:
     train_sqls = [(sql, rt) for sql, rt, _ in train.rows] + aug_rows
     enc_train = enc_test = tree_train = tree_test = None
     mscn_train = mscn_test = neo_train = neo_test = None
+    enc_calib = tree_calib = mscn_calib = neo_calib = None
     if need_vec:
         enc_train = [engine.encode_sql(sql) for sql, _ in train_sqls]
         enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
+        if calib:
+            enc_calib = [engine.encode_sql(sql) for sql, _, _ in calib.rows]
     if need_tree:
         tree_train = [engine.encode_sql_tree(sql) for sql, _ in train_sqls]
         tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
+        if calib:
+            tree_calib = [engine.encode_sql_tree(sql) for sql, _, _ in calib.rows]
     from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
     from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
 
@@ -173,6 +227,10 @@ def main() -> None:
         mscn_test = [menc.encode(q) for q in ir_test]
         neo_train = [nenc.encode(q) for q in ir_train]
         neo_test = [nenc.encode(q) for q in ir_test]
+        if calib:
+            ir_calib = [engine.parse(sql) for sql, _, _ in calib.rows]
+            mscn_calib = [menc.encode(q) for q in ir_calib]
+            neo_calib = [nenc.encode(q) for q in ir_calib]
     rt_train = [rt for _, rt in train_sqls]
     rt_train_orig = [r for _, r, _ in train.rows]
     print(f"encoded {len(train_sqls)} train (+{len(test.rows)} test) plans in {time.time() - t0:.0f}s")
@@ -203,13 +261,13 @@ def main() -> None:
     for fam, model in families.items():
         t0 = time.time()
         if fam in ("treelstm", "gerelt4"):
-            tr, te, rts, tr_rows = tree_train, tree_test, rt_train, train_rows_aug
+            tr, te, ca, rts, tr_rows = tree_train, tree_test, tree_calib, rt_train, train_rows_aug
         elif fam == "mscn":
-            tr, te, rts, tr_rows = mscn_train, mscn_test, rt_train_orig, train.rows
+            tr, te, ca, rts, tr_rows = mscn_train, mscn_test, mscn_calib, rt_train_orig, train.rows
         elif fam == "neo":
-            tr, te, rts, tr_rows = neo_train, neo_test, rt_train_orig, train.rows
+            tr, te, ca, rts, tr_rows = neo_train, neo_test, neo_calib, rt_train_orig, train.rows
         else:
-            tr, te, rts, tr_rows = enc_train, enc_test, rt_train, train_rows_aug
+            tr, te, ca, rts, tr_rows = enc_train, enc_test, enc_calib, rt_train, train_rows_aug
         if fam == "linear":
             model.fit(tr, rts)
         else:
@@ -219,6 +277,10 @@ def main() -> None:
             "test": evaluate(model, te, test.rows),
             "fit_seconds": round(time.time() - t0, 1),
         }
+        if calib and ca is not None:
+            affine = fit_affine(model, ca, calib.rows)
+            res["affine"] = [round(affine[0], 4), round(affine[1], 4)]
+            res["test_calibrated"] = evaluate(model, te, test.rows, affine=affine)
         report["models"][fam] = res
         if hasattr(model, "save"):
             model.save(str(out / f"model_{fam}.json"))
