@@ -34,6 +34,12 @@ import sys
 import time
 from pathlib import Path
 
+# Random multi-join candidates can blow an 8g driver heap at sf1+ (an
+# OOMed JVM wedges the generator silently — the watchdog can cancel a
+# job but not resurrect a dead heap), so default this process higher;
+# an explicit SPARK_DRIVER_MEMORY still wins.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
