@@ -17,9 +17,14 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
+
+# same lesson as tools/gen_workload.py: heavyweight multi-join rows can
+# blow the 8g default heap, and a dead JVM wedges the run silently
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
