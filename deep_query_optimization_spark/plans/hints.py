@@ -50,14 +50,25 @@ def order_variants(query: Query, limit: int = 6, seed: int = 0) -> list[str]:
 
 
 def reorder_by_estimate(
-    engine, query: Query, limit: int = 6, seed: int = 0
+    engine, query: Query, limit: int = 6, seed: int = 0, margin: float = 1.0
 ) -> tuple[str, list[tuple[float, str]]]:
     """Pick the cheapest-estimated join order for ``query``.
 
     Returns (chosen_sql, [(estimate_s, sql), ...] for every candidate —
     candidates in emission order, chosen = argmin estimate; ties keep
     the earlier (canonical) emission so the hint never churns plans
-    without a predicted win."""
+    without a predicted win.
+
+    ``margin`` is the confidence gate: override Catalyst's default
+    order only when the best candidate's estimate is at most
+    ``margin * estimate(default)``. At 1.0 every predicted win is
+    taken; measured end-to-end (reports/learned_hints_sf1.json) the
+    estimator's small predicted deltas on sub-second queries are noise,
+    so production callers should demand a real predicted gap (~0.6) —
+    the same reasoning as Spark's own broadcast threshold: act only
+    when the signal clears the cost of being wrong."""
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
+    if scored[best][0] > margin * scored[0][0]:
+        best = 0
     return scored[best][1], scored

@@ -25,6 +25,15 @@ Env knobs (same semantics as train_estimator.py):
                                     different out dirs and concatenate the
                                     CSVs to double labeling throughput
                                     (single queries rarely saturate 32 cores)
+    DQO_DOUBLE_RUN                  "1" = run-twice-keep-second labels
+                                    (reference protocol). ~2x cost per row
+                                    but clean labels: co-located generators
+                                    produce labels with only ~0.47 bucket
+                                    self-agreement, and models trained on
+                                    them plateau ~0.1 accuracy below the
+                                    same architecture fine-tuned on quiet
+                                    double-run labels
+                                    (reports/estimator_label_noise.json)
 """
 
 from __future__ import annotations
@@ -68,6 +77,7 @@ def main() -> None:
     engine = DQOEngine(spark, sf_dir, snapshot_path=str(out / "schema.json"))
     engine.snapshot()
     engine.runner.timeout_s = timeout_s
+    engine.runner.double_run = os.environ.get("DQO_DOUBLE_RUN", "0") == "1"
 
     bal = BalancedQueryGen(
         engine.db,

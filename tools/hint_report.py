@@ -16,6 +16,7 @@ model recorded in ``report.json``.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -86,7 +87,8 @@ def main() -> None:
     rows = []
     for qseed, q in queries:
         default_sql = q.to_sql()
-        chosen_sql, scored = reorder_by_estimate(engine, q, limit=6, seed=qseed)
+        margin = float(os.environ.get("DQO_HINT_MARGIN", "0.6"))
+        chosen_sql, scored = reorder_by_estimate(engine, q, limit=6, seed=qseed, margin=margin)
         est_default = scored[0][0]
         est_chosen = min(s for s, _ in scored)
         # interleaved double measurement: second timing kept for both
