@@ -30,6 +30,7 @@ from deep_query_optimization_spark.estimator import QueriesDataset  # noqa: E402
 from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics  # noqa: E402
 from deep_query_optimization_spark.session import get_spark  # noqa: E402
 from tools.finetune_estimator import LOADERS, TREE_FAMILIES  # noqa: E402
+from tools.train_estimator import fit_affine  # noqa: E402
 
 
 def metrics(preds, rows) -> dict:
@@ -43,10 +44,15 @@ def metrics(preds, rows) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     test_csv = "/root/repo/.data/est_split/test_clean.csv"
+    calib_csv = None
     sf_dir = "/root/repo/.data/sf1"
     if "--test" in args:
         i = args.index("--test")
         test_csv = args[i + 1]
+        del args[i : i + 2]
+    if "--calib" in args:
+        i = args.index("--calib")
+        calib_csv = args[i + 1]
         del args[i : i + 2]
     if "--sf" in args:
         i = args.index("--sf")
@@ -61,8 +67,10 @@ def main() -> None:
     )
     engine.snapshot()
     test = QueriesDataset.load(test_csv)
+    calib = QueriesDataset.load(calib_csv) if calib_csv else None
 
     enc_cache: dict[bool, list] = {}
+    calib_cache: dict[bool, list] = {}
     per_member = {}
     all_preds = []
     for spec in members:
@@ -72,7 +80,14 @@ def main() -> None:
         if is_tree not in enc_cache:
             encode = engine.encode_sql_tree if is_tree else engine.encode_sql
             enc_cache[is_tree] = [encode(sql) for sql, _, _ in test.rows]
+            if calib is not None:
+                calib_cache[is_tree] = [encode(sql) for sql, _, _ in calib.rows]
         preds = np.asarray(model.predict(enc_cache[is_tree]), dtype=float)
+        if calib is not None:
+            # remove each member's systematic loaded-vs-quiet shift before
+            # averaging, so the ensemble mixes comparable scales
+            a, b = fit_affine(model, calib_cache[is_tree], calib.rows)
+            preds = a * preds + b
         all_preds.append(preds)
         per_member[spec] = metrics(preds, test.rows)
         print(f"{spec}: acc {per_member[spec]['accuracy']:.3f}")

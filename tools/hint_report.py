@@ -90,7 +90,10 @@ def main() -> None:
         margin = float(os.environ.get("DQO_HINT_MARGIN", "0.6"))
         chosen_sql, scored = reorder_by_estimate(engine, q, limit=6, seed=qseed, margin=margin)
         est_default = scored[0][0]
-        est_chosen = min(s for s, _ in scored)
+        # estimate of the plan that actually runs: when the margin gate
+        # rejects an override, chosen == default and est must follow it
+        # (not the rejected candidate's min)
+        est_chosen = next(s for s, sql in scored if sql == chosen_sql)
         # interleaved double measurement: second timing kept for both
         # (JIT/page-cache discipline), default first then chosen
         engine.runner.time(default_sql)

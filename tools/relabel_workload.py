@@ -11,6 +11,17 @@ reference's run-twice-keep-second discipline
 ``SparkQueryRunner(double_run=True)``), producing labels fit to judge
 against.
 
+Resumable: if ``out_csv`` already exists, its rows are loaded and any
+input SQL already present is skipped, so a crashed or interrupted run
+(the silent-JVM-wedge scenario the 24g heap default guards against)
+re-pays nothing. Pre-seeding ``out_csv`` with rows relabeled by an
+earlier run is therefore also a way to relabel a corpus incrementally.
+
+The watchdog honors ``DQO_TIMEOUT_S`` (default 60) — it must match the
+timeout the corpus was *labeled* with, otherwise slow rows get
+right-censored at a different point than their stored labels and the
+changed-bucket statistic is corrupted.
+
 Usage:
     python tools/relabel_workload.py in_csv out_csv [sf_dir] [schema.json]
 """
@@ -45,13 +56,22 @@ def main() -> None:
     engine = DQOEngine(spark, sf_dir, snapshot_path=schema)
     engine.snapshot()
     engine.runner.double_run = True
-    engine.runner.timeout_s = 60.0
+    # must match the timeout the corpus was labeled with (gen_workload's
+    # default), or relabeling right-censors slow rows at a different point
+    engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "60"))
 
     ds = QueriesDataset.load(in_csv)
     out = QueriesDataset()
+    done: set[str] = set()
+    if Path(out_csv).exists():  # resume: skip rows an earlier run timed
+        out = QueriesDataset.load(out_csv)
+        done = {sql for sql, _, _ in out.rows}
+        print(f"resuming: {len(done)} rows already relabeled in {out_csv}", flush=True)
     moved = 0
     t0 = time.monotonic()
     for i, (sql, rt_old, plan) in enumerate(ds.rows):
+        if sql in done:
+            continue
         rt_new = engine.runner.time(sql)
         out.add(sql, rt_new, plan)
         moved += bucketize(rt_old) != bucketize(rt_new)

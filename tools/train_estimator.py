@@ -161,6 +161,21 @@ def main() -> None:
         test = QueriesDataset.load(test_csv)
         if calib_csv:
             calib = QueriesDataset.load(calib_csv)
+        # the whole workload becomes train, so train/test disjointness is
+        # the caller's responsibility — fail loudly if held-out SQL text
+        # appears in train (e.g. DQO_TEST_CSV pointed at a relabeled
+        # subset of the same corpus), which would silently inflate scores
+        train_sqls = {sql for sql, _, _ in train.rows}
+        held = {sql for sql, _, _ in test.rows}
+        if calib:
+            held |= {sql for sql, _, _ in calib.rows}
+        leaked = train_sqls & held
+        if leaked:
+            raise SystemExit(
+                f"DQO_TEST_CSV/DQO_CALIB_CSV leak: {len(leaked)} held-out "
+                "queries also appear in the training workload — use "
+                "tools/split_workload.py to freeze a disjoint split first"
+            )
         print(
             f"external split: train {len(train.rows)} / test {len(test.rows)}"
             + (f" / calib {len(calib.rows)}" if calib else "")
