@@ -21,10 +21,16 @@ driver-side inference (one plan analysis + one model forward each,
 from __future__ import annotations
 
 import itertools
+import math
 import random
 
 from deep_query_optimization_spark.generator.augment import _emit
 from deep_query_optimization_spark.relational.query import Query
+from deep_query_optimization_spark.stats import (
+    NumericStats,
+    like_selectivity,
+    selectivity,
+)
 
 
 def order_variants(query: Query, limit: int = 6, seed: int = 0) -> list[str]:
@@ -50,7 +56,12 @@ def order_variants(query: Query, limit: int = 6, seed: int = 0) -> list[str]:
 
 
 def reorder_by_estimate(
-    engine, query: Query, limit: int = 6, seed: int = 0, margin: float = 1.0
+    engine,
+    query: Query,
+    limit: int = 6,
+    seed: int = 0,
+    margin: float = 1.0,
+    margin_by_bucket: dict[int, float] | None = None,
 ) -> tuple[str, list[tuple[float, str]]]:
     """Pick the cheapest-estimated join order for ``query``.
 
@@ -66,9 +77,170 @@ def reorder_by_estimate(
     estimator's small predicted deltas on sub-second queries are noise,
     so production callers should demand a real predicted gap (~0.6) —
     the same reasoning as Spark's own broadcast threshold: act only
-    when the signal clears the cost of being wrong."""
+    when the signal clears the cost of being wrong.
+
+    ``margin_by_bucket`` (from ``margins_from_calibration``) replaces
+    the flat margin with one keyed on the default plan's predicted
+    log2 bucket — the calibration report shows reliability differs by
+    bucket, so override authority should too."""
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
+    if margin_by_bucket is not None:
+        bucket = int(min(8, max(-3, round(math.log2(max(scored[0][0], 1e-3))))))
+        margin = margin_by_bucket.get(bucket, margin)
     if scored[best][0] > margin * scored[0][0]:
         best = 0
     return scored[best][1], scored
+
+
+def margins_from_calibration(calib: dict, base: float = 0.6) -> dict[int, float]:
+    """Per-bucket override margins from a calibration report
+    (tools/calibration_report.py output: per_bucket -> {accuracy, n}).
+
+    The global margin treats every prediction as equally trustworthy;
+    the calibration report says they are not (measured 0.80 at bucket
+    -3 vs 0.20 at +1 on the sf1 clean set). Scale the base margin by
+    the measured per-bucket reliability: where the estimator is usually
+    right, a modest predicted win suffices; where it is usually wrong,
+    demand a landslide. Buckets with n < 5 fall back to ``base`` —
+    three samples of luck must not buy override authority."""
+    out: dict[int, float] = {}
+    for b, stats in calib.get("per_bucket", {}).items():
+        n = stats.get("n", 0)
+        if n >= 5:
+            acc = float(stats.get("bucket_accuracy", 0.0))
+            out[int(b)] = max(0.1, min(0.9, base * (0.5 + acc)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# broadcast hints — the second high-leverage Catalyst decision
+# ---------------------------------------------------------------------------
+#
+# Catalyst broadcasts a join side when its RAW file size is under
+# spark.sql.autoBroadcastJoinThreshold (10 MB default). Without CBO
+# column statistics it cannot see that a selective filter shrinks a
+# 100 GB table to 2 MB of surviving rows — the exact case the §2.4
+# statistics layer measures (per-column histograms + selectivity).
+# ``broadcast_by_stats`` closes that gap: estimate each relation's
+# POST-FILTER size from the snapshot stats and emit
+# ``/*+ BROADCAST(alias) */`` for joined relations whose estimated
+# surviving bytes clear the threshold Catalyst's raw-size check missed.
+#
+# Deliberately NOT scored by the runtime estimator: the cost models
+# encode the OPTIMIZED LOGICAL plan (engine.encode_sql), and a physical
+# broadcast hint leaves that encoding bit-identical — the model cannot
+# tell the candidates apart. The decision signal here is the learned
+# cardinality model (histogram selectivities, the reference's
+# ``gerelt/v20/encoder.py:166-197`` machinery), which is exactly the
+# statistic the decision depends on; reports/broadcast_hints_sf1.json
+# measures the end-to-end effect.
+
+SPARK_AUTO_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+def condition_selectivity(db, cond) -> float:
+    """Estimated fraction of rows surviving ``cond`` from snapshot
+    stats; 0.5 when the stats can't say (the encoder's own prior)."""
+    try:
+        col = db[cond.column.table.name][cond.column.column]
+    except KeyError:
+        return 0.5
+    st = col.stats
+    if st is None:
+        return 0.5
+    op = str(cond.op).upper()
+    if op == "IS NULL":
+        return max(1e-6, st.nulls_fraction)
+    if op == "IS NOT NULL":
+        return max(1e-6, 1.0 - st.nulls_fraction)
+    if op in ("LIKE", "NOT LIKE"):
+        ss = st.values if st.values is not None and not isinstance(st.values, NumericStats) else None
+        avg_len = float(ss.chars.mean) if ss and ss.chars.mean else 20.0
+        sel = like_selectivity(str(cond.value), avg_len)
+        return sel if op == "LIKE" else 1.0 - sel
+    if op == "IN" and isinstance(cond.value, (list, tuple, set)):
+        if st.distinct:
+            return min(1.0, len(cond.value) / max(st.distinct, 1))
+        return 0.5
+    if op == "BETWEEN" and isinstance(cond.value, (list, tuple)) and len(cond.value) == 2:
+        lo, hi = cond.value
+        try:
+            return max(
+                1e-6, selectivity(st, ">=", float(lo)) + selectivity(st, "<=", float(hi)) - 1.0
+            )
+        except (TypeError, ValueError):
+            return 0.5
+    try:
+        return selectivity(st, cond.op, float(cond.value))  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        return 0.5
+
+
+def estimate_filtered_bytes(db, query: Query, rel) -> tuple[float, float]:
+    """(raw_bytes, estimated post-filter bytes) for one relation of
+    ``query``, multiplying per-condition selectivities (independence
+    assumption — the same one every textbook optimizer starts from)."""
+    table = db[rel.name]
+    raw = float(table.stats.bytes) if table.stats else 0.0
+    sel = 1.0
+    for cond in query.conditions:
+        if cond.column.table == rel:
+            sel *= condition_selectivity(db, cond)
+    return raw, raw * sel
+
+
+def broadcast_by_stats(
+    db,
+    query: Query,
+    threshold_bytes: int = 32 * 1024 * 1024,
+    margin: float = 0.5,
+    auto_bytes: int = SPARK_AUTO_BROADCAST_BYTES,
+) -> tuple[str, list[dict]]:
+    """Emit ``query`` with ``/*+ BROADCAST(alias) */`` hints for joined
+    relations whose estimated post-filter size fits an executor's
+    broadcast budget.
+
+    Returns (sql, decisions) where decisions records per-relation
+    raw/estimated bytes and the verdict — the report tool measures the
+    hinted emission against the default.
+
+    Hinted only when BOTH hold:
+    - estimated bytes <= margin * threshold_bytes (the margin absorbs
+      the independence assumption's optimism — demand the estimate
+      clear the bar with room);
+    - raw bytes > SPARK_AUTO_BROADCAST_BYTES (if the raw file is
+      already under Catalyst's own threshold the hint is a no-op);
+    and never for the largest relation of the query (broadcasting the
+    fact side is how you OOM 1000 executors at once)."""
+    if len(query.relations) < 2 or not query.joins:
+        return query.to_sql(), []
+    joined = {t for j in query.joins for t in (j.left.table, j.right.table)}
+    aliases = query._aliases()
+    sized = {rel: estimate_filtered_bytes(db, query, rel) for rel in sorted(query.relations)}
+    largest = max(sized, key=lambda r: sized[r][0])
+    decisions = []
+    hinted: list[str] = []
+    for rel in sorted(query.relations):
+        raw, est = sized[rel]
+        hint = (
+            rel in joined
+            and rel != largest
+            and est <= margin * threshold_bytes
+            and raw > auto_bytes
+        )
+        if hint:
+            hinted.append(aliases[rel])
+        decisions.append(
+            {
+                "table": rel.name,
+                "alias": aliases[rel],
+                "raw_bytes": int(raw),
+                "est_bytes": int(est),
+                "hinted": hint,
+            }
+        )
+    sql = query.to_sql()
+    if hinted:
+        sql = sql.replace("SELECT ", f"SELECT /*+ BROADCAST({', '.join(hinted)}) */ ", 1)
+    return sql, decisions

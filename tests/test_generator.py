@@ -324,3 +324,118 @@ def test_hints_order_variants_and_choice(db):
     chosen, scored = reorder_by_estimate(FakeEngine(costs), q, limit=6)
     assert chosen == variants[3]
     assert len(scored) == 6
+
+
+def test_hints_margin_by_bucket_gates_override(db):
+    """Per-bucket margins: a low-reliability bucket demands a bigger
+    predicted win before the default order is overridden."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import (
+        margins_from_calibration,
+        order_variants,
+        reorder_by_estimate,
+    )
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(
+        Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER))
+    )
+    variants = order_variants(q, limit=2)
+    assert len(variants) == 2
+
+    class FakeEngine:
+        def __init__(self, costs):
+            self.costs = costs
+
+        def estimate(self, sql):
+            return self.costs[sql]
+
+    # default estimated 2.0s (bucket 1), candidate 1.5s: a 0.9 margin
+    # takes the override, a strict 0.5 margin for bucket 1 rejects it
+    costs = {variants[0]: 2.0, variants[1]: 1.5}
+    chosen, _ = reorder_by_estimate(FakeEngine(costs), q, limit=2, margin=0.9)
+    assert chosen == variants[1]
+    chosen, _ = reorder_by_estimate(
+        FakeEngine(costs), q, limit=2, margin=0.9, margin_by_bucket={1: 0.5}
+    )
+    assert chosen == variants[0]
+
+    # margins_from_calibration: reliable buckets get looser margins,
+    # unreliable tighter, n<5 buckets are skipped
+    calib = {
+        "per_bucket": {
+            "-3": {"n": 97, "bucket_accuracy": 0.8},
+            "1": {"n": 15, "bucket_accuracy": 0.2},
+            "5": {"n": 1, "bucket_accuracy": 0.0},
+        }
+    }
+    m = margins_from_calibration(calib, base=0.6)
+    assert m[-3] > m[1]
+    assert 5 not in m
+    assert all(0.1 <= v <= 0.9 for v in m.values())
+
+
+def test_broadcast_by_stats_hints_filtered_relation(db):
+    """broadcast_by_stats fires exactly when the POST-FILTER estimate
+    clears the budget on a relation whose RAW size does not — and never
+    for the largest relation of the query."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import (
+        broadcast_by_stats,
+        condition_selectivity,
+        estimate_filtered_bytes,
+    )
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Condition,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(
+        Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER))
+    )
+    # selective filter on orders: o_orderkey < small literal
+    cond = Condition(ColumnRef(o, "o_orderkey", DataType.NUMBER), "<", 500.0)
+    q.add_condition(cond)
+
+    sel = condition_selectivity(db, cond)
+    assert 0.0 < sel < 0.5  # histogram says the filter is selective
+
+    raw, est = estimate_filtered_bytes(db, q, o)
+    assert raw == db["orders"].stats.bytes
+    assert est == pytest.approx(raw * sel)
+
+    # thresholds scaled to the sf0.01 snapshot (orders raw = ~272 KB):
+    # raw clears the auto floor, raw itself would NOT fit the margin
+    # budget, the filtered estimate does -> hint fires on orders only
+    auto = 100_000
+    threshold = int(raw * 1.2)
+    sql, decisions = broadcast_by_stats(db, q, threshold_bytes=threshold, margin=0.5, auto_bytes=auto)
+    byname = {d["table"]: d for d in decisions}
+    assert byname["orders"]["hinted"] is True
+    assert byname["lineitem"]["hinted"] is False  # largest side, never hinted
+    assert sql.startswith("SELECT /*+ BROADCAST(")
+    assert sql.replace(f"/*+ BROADCAST({byname['orders']['alias']}) */ ", "") == q.to_sql()
+
+    # without the filter the raw size blows the budget -> no hint
+    q.remove_condition(cond)
+    sql2, decisions2 = broadcast_by_stats(
+        db, q, threshold_bytes=threshold, margin=0.5, auto_bytes=auto
+    )
+    assert sql2 == q.to_sql()
+    assert not any(d["hinted"] for d in decisions2)

@@ -84,11 +84,24 @@ def main() -> None:
             queries.append((seed, q))
         seed += 1
 
+    margin = float(os.environ.get("DQO_HINT_MARGIN", "0.6"))
+    # DQO_HINT_CALIB = calibration_report.py output: replaces the flat
+    # margin with per-bucket margins scaled by measured reliability
+    margin_by_bucket = None
+    calib_path = os.environ.get("DQO_HINT_CALIB")
+    if calib_path:
+        from deep_query_optimization_spark.plans.hints import margins_from_calibration
+
+        with open(calib_path) as f:
+            margin_by_bucket = margins_from_calibration(json.load(f), base=margin)
+        print(f"per-bucket margins from {calib_path}: {margin_by_bucket}", flush=True)
+
     rows = []
     for qseed, q in queries:
         default_sql = q.to_sql()
-        margin = float(os.environ.get("DQO_HINT_MARGIN", "0.6"))
-        chosen_sql, scored = reorder_by_estimate(engine, q, limit=6, seed=qseed, margin=margin)
+        chosen_sql, scored = reorder_by_estimate(
+            engine, q, limit=6, seed=qseed, margin=margin, margin_by_bucket=margin_by_bucket
+        )
         est_default = scored[0][0]
         # estimate of the plan that actually runs: when the margin gate
         # rejects an override, chosen == default and est must follow it
