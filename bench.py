@@ -35,6 +35,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # quiet-box evidence: a bench taken while corpus generators share the
+    # machine measures contention, not the engine (the r5 lesson) — stamp
+    # the pre-bench load average into the artifact so drift is attributable
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg_start = float(f.read().split()[0])
+    except OSError:
+        loadavg_start = None
+    if loadavg_start is not None and loadavg_start > 4.0:
+        print(
+            f"WARNING: loadavg {loadavg_start:.1f} at bench start — timings "
+            "will reflect the co-located load, not the engine",
+            file=sys.stderr,
+            flush=True,
+        )
     spark = get_spark("dqo-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -86,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg_start": loadavg_start,
             }
         )
     )

@@ -55,7 +55,6 @@ NO_PUSHDOWN_EXPECTED = {
     "text_fingerprint_tokens",
     "multimodal_decode",
     "rollup_grouping_sets",
-    "cube_grouping_sets",
 }
 
 
