@@ -46,7 +46,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     engine = DQOEngine(spark, sf_dir, snapshot_path=schema)
     engine.snapshot()
-    engine.runner.timeout_s = 120.0
+    engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "120"))
 
     # scan seeds for queries where the hint actually fires — the
     # interesting population is exactly the raw-vs-filtered disagreement

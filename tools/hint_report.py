@@ -72,7 +72,7 @@ def main() -> None:
     engine = DQOEngine(spark, sf_dir, snapshot_path=str(est_dir / "schema.json"))
     engine.snapshot()
     engine.model = model
-    engine.runner.timeout_s = 120.0
+    engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "120"))
 
     # multi-join candidates: scan seeds until n queries join >= 3 tables
     queries = []
