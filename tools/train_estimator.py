@@ -261,13 +261,18 @@ def main() -> None:
         "batch_size": batch,
         "models": {},
     }
+    # capacity knobs: the 32/32 defaults match the reference's smallest
+    # gerelt configs; with clean labels the capacity ceiling (not label
+    # noise) can become binding — widen via env without touching code
+    embed = int(os.environ.get("DQO_EMBED", "32"))
+    hidden = int(os.environ.get("DQO_HIDDEN", "32"))
     families = {
         "linear": LinearCostModel(),
         "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
-        "gru": GRUCostModel(in_dim=engine.encoder.width, seed=0),
+        "gru": GRUCostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
         "cnn": CNNCostModel(in_dim=engine.encoder.width, seed=0),
-        "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, seed=0),
-        "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, seed=0),
+        "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
+        "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
         "mscn": MSCNCostModel(widths=menc.widths, seed=0),
         "neo": NeoCostModel(in_dim=nenc.width, seed=0),
     }
