@@ -76,8 +76,8 @@ def main() -> None:
 
     # multi-join candidates: scan seeds until n queries join >= 3 tables
     queries = []
-    seed = 1000
-    while len(queries) < n and seed < 1000 + 400:
+    seed = int(os.environ.get("DQO_HINT_SEED0", "1000"))
+    while len(queries) < n and seed < int(os.environ.get("DQO_HINT_SEED0", "1000")) + max(400, 40 * n):
         gen = RandomQueryGen(engine.db, seed=seed, max_tables=4, max_conditions=6)
         q = gen.randomize()
         if len(q.relations) >= 3:
