@@ -9,6 +9,7 @@ Reference ``dqo/datasets/__init__.py:36-267``: CSV files of
 from __future__ import annotations
 
 import csv
+import os
 import random
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -29,18 +30,37 @@ class QueriesDataset:
     # -- CSV round trip (reference :44, :270) --------------------------
 
     def save(self, path: str) -> None:
+        """Atomic write: a SIGKILL mid-save (the relabel wedge guard's
+        pkill -9) must never leave a truncated checkpoint that a resumed
+        run would silently treat as the full corpus. Write to a sibling
+        temp file and os.replace() into place (atomic on POSIX)."""
         Path(path).parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "w", newline="") as f:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["query", "runtime", "plan"])
             w.writerows(self.rows)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "QueriesDataset":
+        """Tolerates a torn final row (pre-atomic-save checkpoints may
+        end mid-record): a last row that doesn't parse is dropped with
+        a warning instead of crashing the resume."""
         with open(path, newline="") as f:
-            r = csv.reader(f)
-            next(r)  # header
-            rows = [(q, float(t), p) for q, t, p in r]
+            raw = list(csv.reader(f))
+        rows: list[tuple[str, float, str]] = []
+        for i, rec in enumerate(raw[1:], start=2):
+            try:
+                q, t, p = rec
+                rows.append((q, float(t), p))
+            except ValueError:
+                if i == len(raw):  # torn final row from a killed writer
+                    print(f"warning: dropping torn final row in {path}")
+                    break
+                raise
         return cls(rows=rows)
 
     # -- splits --------------------------------------------------------

@@ -95,7 +95,7 @@ def reorder_by_estimate(
 
 def margins_from_calibration(calib: dict, base: float = 0.6) -> dict[int, float]:
     """Per-bucket override margins from a calibration report
-    (tools/calibration_report.py output: per_bucket -> {accuracy, n}).
+    (tools/calibration_report.py output).
 
     The global margin treats every prediction as equally trustworthy;
     the calibration report says they are not (measured 0.80 at bucket
@@ -103,9 +103,18 @@ def margins_from_calibration(calib: dict, base: float = 0.6) -> dict[int, float]
     the measured per-bucket reliability: where the estimator is usually
     right, a modest predicted win suffices; where it is usually wrong,
     demand a landslide. Buckets with n < 5 fall back to ``base`` —
-    three samples of luck must not buy override authority."""
+    three samples of luck must not buy override authority.
+
+    ``reorder_by_estimate`` looks margins up by the default plan's
+    PREDICTED bucket (the only bucket that exists pre-execution), so
+    the reliability used here must be accuracy-given-predicted-bucket
+    (precision) — ``per_bucket_predicted`` in current reports. Old
+    reports carry only the actual-bucket (recall) table; fall back to
+    it with the caveat that a skewed confusion matrix can then loosen
+    margins exactly where the model systematically mispredicts."""
+    table = calib.get("per_bucket_predicted") or calib.get("per_bucket", {})
     out: dict[int, float] = {}
-    for b, stats in calib.get("per_bucket", {}).items():
+    for b, stats in table.items():
         n = stats.get("n", 0)
         if n >= 5:
             acc = float(stats.get("bucket_accuracy", 0.0))
@@ -242,5 +251,10 @@ def broadcast_by_stats(
         )
     sql = query.to_sql()
     if hinted:
-        sql = sql.replace("SELECT ", f"SELECT /*+ BROADCAST({', '.join(hinted)}) */ ", 1)
+        # Splice the hint right after the leading SELECT. Guard the
+        # assumption loudly: if Query.to_sql ever grows a CTE/prefix,
+        # a silent replace() would drop or misplace the hint.
+        if not sql.startswith("SELECT "):
+            raise ValueError(f"cannot splice broadcast hint, emission does not start with SELECT: {sql[:60]!r}")
+        sql = f"SELECT /*+ BROADCAST({', '.join(hinted)}) */ " + sql[len("SELECT ") :]
     return sql, decisions

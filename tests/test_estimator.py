@@ -34,6 +34,31 @@ def test_dataset_csv_roundtrip(tmp_path):
     assert ds2.rows == ds.rows
 
 
+def test_dataset_save_is_atomic_and_load_tolerates_torn_tail(tmp_path):
+    """A SIGKILL mid-checkpoint (the relabel wedge guard's pkill -9)
+    must not corrupt the resume: save() goes through temp+rename, and
+    load() drops a torn final row instead of crashing."""
+    ds = QueriesDataset()
+    for i in range(5):
+        ds.add(f"SELECT {i}", float(i + 1), "")
+    p = tmp_path / "w.csv"
+    ds.save(str(p))
+    assert not (tmp_path / "w.csv.tmp").exists()  # temp renamed away
+
+    # simulate a writer killed mid-row: valid prefix + torn last record
+    text = p.read_text()
+    p.write_text(text + '"SELECT torn",1.2')  # missing plan field
+    ds2 = QueriesDataset.load(str(p))
+    assert ds2.rows == ds.rows  # torn tail dropped, prefix intact
+
+    # a malformed row in the MIDDLE is real corruption -> still raises
+    lines = text.rstrip("\n").split("\n")
+    bad = "\n".join(lines[:3] + ["torn,row"] + lines[3:])
+    p.write_text(bad + "\n")
+    with pytest.raises(ValueError):
+        QueriesDataset.load(str(p))
+
+
 def test_stratified_split_covers_buckets():
     ds = QueriesDataset()
     for i in range(40):

@@ -383,6 +383,18 @@ def test_hints_margin_by_bucket_gates_override(db):
     assert 5 not in m
     assert all(0.1 <= v <= 0.9 for v in m.values())
 
+    # reorder_by_estimate keys margins by the default plan's PREDICTED
+    # bucket, so when the report carries the precision table
+    # (per_bucket_predicted) it must win over the recall table
+    calib["per_bucket_predicted"] = {
+        "-3": {"n": 20, "bucket_accuracy": 0.1},
+        "2": {"n": 50, "bucket_accuracy": 0.9},
+    }
+    mp = margins_from_calibration(calib, base=0.6)
+    assert set(mp) == {-3, 2}
+    assert mp[2] > mp[-3]  # precision numbers, not the recall ones
+    assert mp[-3] < m[-3]  # same bucket, different table -> different margin
+
 
 def test_broadcast_by_stats_hints_filtered_relation(db):
     """broadcast_by_stats fires exactly when the POST-FILTER estimate

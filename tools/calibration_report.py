@@ -91,26 +91,38 @@ def main() -> None:
     m = mcc_metrics(actual_b, pred_b)
     m["mae"] = mae(actual_b, pred_b)
 
-    per_bucket: dict[int, dict] = {}
-    for ab, pb, r in zip(actual_b, pred_b, rows):
-        s = per_bucket.setdefault(ab, {"n": 0, "hits": 0, "pred_log2_sum": 0.0})
-        s["n"] += 1
-        s["hits"] += int(ab == pb)
-        s["pred_log2_sum"] += float(r["pred_log2"])
-    calib = {
-        str(b): {
-            "n": s["n"],
-            "bucket_accuracy": round(s["hits"] / s["n"], 3),
-            "mean_pred_log2": round(s["pred_log2_sum"] / s["n"], 3),
+    # Two views of the same confusion matrix:
+    # - per_bucket (keyed by ACTUAL bucket) = recall: of the queries that
+    #   truly land in bucket b, how often did the model say b?
+    # - per_bucket_predicted (keyed by PREDICTED bucket) = precision: when
+    #   the model SAYS b, how often is it right? This is the only quantity
+    #   available at decision time, so hint margins must key on it
+    #   (plans/hints.py margins_from_calibration).
+    def _bucket_table(keys: list[int]) -> dict[str, dict]:
+        agg: dict[int, dict] = {}
+        for k, ab, pb, r in zip(keys, actual_b, pred_b, rows):
+            s = agg.setdefault(k, {"n": 0, "hits": 0, "pred_log2_sum": 0.0})
+            s["n"] += 1
+            s["hits"] += int(ab == pb)
+            s["pred_log2_sum"] += float(r["pred_log2"])
+        return {
+            str(b): {
+                "n": s["n"],
+                "bucket_accuracy": round(s["hits"] / s["n"], 3),
+                "mean_pred_log2": round(s["pred_log2_sum"] / s["n"], 3),
+            }
+            for b, s in sorted(agg.items())
         }
-        for b, s in sorted(per_bucket.items())
-    }
+
+    calib = _bucket_table(actual_b)
+    calib_pred = _bucket_table(pred_b)
 
     report = {
         "family": family,
         "n": len(rows),
         "metrics": {k: round(v, 4) for k, v in m.items()},
         "per_bucket": calib,
+        "per_bucket_predicted": calib_pred,
     }
     Path(out_json).parent.mkdir(parents=True, exist_ok=True)
     with open(out_json, "w") as f:
