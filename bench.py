@@ -23,6 +23,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from deep_query_optimization_spark.quiet import quiet_window  # noqa: E402
 from deep_query_optimization_spark.session import get_spark  # noqa: E402
 from deep_query_optimization_spark.workload import REGISTRY  # noqa: E402
 
@@ -32,17 +33,23 @@ def run_once(df) -> None:
 
 
 def main() -> None:
+    # quiet-box evidence: a bench taken while corpus generators share the
+    # machine measures contention, not the engine (the r5 lesson). The
+    # quiet_window sentinel pauses every sentinel-honoring background job
+    # (relabel rows, workload generation, training epochs) for the bench's
+    # duration, then waits (bounded) for the lagging 1-min loadavg to
+    # drain before stamping it into the artifact.
+    with quiet_window(
+        wait_for_load=float(os.environ.get("DQO_BENCH_MAX_LOAD", "2.0")),
+        wait_timeout_s=float(os.environ.get("DQO_QUIET_WAIT_S", "180")),
+    ) as loadavg_start:
+        _bench(loadavg_start)
+
+
+def _bench(loadavg_start: float | None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    # quiet-box evidence: a bench taken while corpus generators share the
-    # machine measures contention, not the engine (the r5 lesson) — stamp
-    # the pre-bench load average into the artifact so drift is attributable
-    try:
-        with open("/proc/loadavg") as f:
-            loadavg_start = float(f.read().split()[0])
-    except OSError:
-        loadavg_start = None
     if loadavg_start is not None and loadavg_start > 4.0:
         print(
             f"WARNING: loadavg {loadavg_start:.1f} at bench start — timings "

@@ -46,7 +46,10 @@ def _fit_loop(model, plans, runtimes, epochs, lr, log_every, batch_size, seed) -
     # published recipe reproducible
     cosine = _os.environ.get("DQO_LR_DECAY") == "cosine"
     base_lr = lr
+    from deep_query_optimization_spark.quiet import wait_if_quiet_window
+
     for e in range(epochs):
+        wait_if_quiet_window()  # yield the box to a timed measurement
         if cosine and epochs > 1:
             lr = base_lr * (0.1 + 0.9 * 0.5 * (1 + math.cos(math.pi * e / (epochs - 1))))
         if batch_size and batch_size < len(idx):

@@ -145,6 +145,12 @@ class SparkQueryRunner:
 
     def time(self, sql: str) -> float:
         """Reference ``QueryExecutor.time`` (``:52-62``)."""
+        from deep_query_optimization_spark.quiet import wait_if_quiet_window
+
+        # every labeled row is a timed measurement: if another process
+        # raised a quiet window (bench.py), wait it out rather than
+        # poison both measurements with mutual contention
+        wait_if_quiet_window()
         if self.clear_cache:
             self.spark.catalog.clearCache()
         df = self.spark.sql(sql)

@@ -1,0 +1,111 @@
+"""Quiet-window coordination between timed measurements and unattended
+heavy jobs sharing the machine.
+
+The label-noise study (reports/estimator_label_noise.json) measured
+co-located corpus generators shifting runtime labels by whole log2
+buckets, and two consecutive rounds shipped bench artifacts taken under
+the builder's own background load. The structural fix: a measurement
+that needs the box to itself raises a SENTINEL FILE for its duration,
+and every long-running tool polls the sentinel between units of work
+(a labeled row, a training epoch) and sleeps while it is present. The
+collision becomes impossible by construction instead of by scheduling
+discipline.
+
+On a real cluster the analogue is resource-manager queues; on one
+shared local[32] box a file is the whole coordination layer needed.
+
+``DQO_QUIET_SENTINEL`` overrides the sentinel path;
+``DQO_QUIET_IGNORE=1`` opts a job out (e.g. a deliberately-concurrent
+smoke test). A sentinel older than ``STALE_S`` is ignored AND removed:
+a crashed measurement must not freeze every background job forever.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+
+STALE_S = 30 * 60  # a bench window is minutes; 30 min means a crash
+
+
+def sentinel_path() -> str:
+    return os.environ.get("DQO_QUIET_SENTINEL", "/root/repo/.quiet_window")
+
+
+def _sentinel_age() -> float | None:
+    """Age in seconds of a live sentinel, else None (absent or stale)."""
+    path = sentinel_path()
+    try:
+        age = time.time() - os.stat(path).st_mtime
+    except OSError:
+        return None
+    if age > STALE_S:
+        with contextlib.suppress(OSError):
+            os.remove(path)  # crashed measurement left it behind
+        return None
+    return age
+
+
+def wait_if_quiet_window(poll_s: float = 10.0, log=None) -> float:
+    """Block while a quiet-window sentinel is present.
+
+    Call between units of background work (one labeled row, one epoch).
+    Returns seconds spent paused — 0.0 on the fast path (one stat()).
+    """
+    if os.environ.get("DQO_QUIET_IGNORE") == "1":
+        return 0.0
+    paused = 0.0
+    announced = False
+    while _sentinel_age() is not None:
+        if not announced:
+            (log or (lambda m: print(m, file=sys.stderr, flush=True)))(
+                f"paused: quiet window active ({sentinel_path()})"
+            )
+            announced = True
+        time.sleep(poll_s)
+        paused += poll_s
+    return paused
+
+
+@contextlib.contextmanager
+def quiet_window(wait_for_load: float | None = 2.0, wait_timeout_s: float = 180.0):
+    """Raise the sentinel for the duration of a timed measurement.
+
+    After raising it, optionally wait (bounded) for the 1-minute load
+    average to drain below ``wait_for_load`` — the sentinel stops NEW
+    work instantly, but loadavg is a lagging indicator and in-flight
+    Spark jobs take seconds to finish their current row. Yields the
+    loadavg observed when the wait ended (None if unreadable).
+    """
+    path = sentinel_path()
+    with open(path, "w") as f:
+        f.write(f"pid={os.getpid()} t={time.time():.0f}\n")
+    # the window-holder's own timed calls must never wait on its own
+    # sentinel (e.g. a measurement tool that itself uses the runner)
+    prev_ignore = os.environ.get("DQO_QUIET_IGNORE")
+    os.environ["DQO_QUIET_IGNORE"] = "1"
+    try:
+        load = _read_loadavg()
+        if wait_for_load is not None:
+            deadline = time.monotonic() + wait_timeout_s
+            while load is not None and load > wait_for_load and time.monotonic() < deadline:
+                time.sleep(5.0)
+                load = _read_loadavg()
+        yield load
+    finally:
+        if prev_ignore is None:
+            os.environ.pop("DQO_QUIET_IGNORE", None)
+        else:
+            os.environ["DQO_QUIET_IGNORE"] = prev_ignore
+        with contextlib.suppress(OSError):
+            os.remove(path)
+
+
+def _read_loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None

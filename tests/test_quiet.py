@@ -1,0 +1,80 @@
+"""Quiet-window sentinel: timed measurements vs background jobs.
+
+The coordination that makes bench contamination structurally impossible
+(two rounds of artifacts were taken under the builder's own corpus
+generators): bench.py raises a sentinel file, every sentinel-honoring
+loop (runner.time rows, training epochs) pauses while it exists.
+"""
+
+import os
+import time
+
+import pytest
+
+from deep_query_optimization_spark import quiet
+from deep_query_optimization_spark.quiet import (
+    quiet_window,
+    sentinel_path,
+    wait_if_quiet_window,
+)
+
+
+@pytest.fixture
+def sentinel(tmp_path, monkeypatch):
+    p = tmp_path / "qw"
+    monkeypatch.setenv("DQO_QUIET_SENTINEL", str(p))
+    monkeypatch.delenv("DQO_QUIET_IGNORE", raising=False)
+    return p
+
+
+def test_fast_path_no_sentinel(sentinel):
+    assert wait_if_quiet_window() == 0.0
+
+
+def test_waits_while_sentinel_present(sentinel):
+    sentinel.write_text("pid=1\n")
+    # remove the sentinel from a "background" angle: first poll sees it,
+    # second poll doesn't — simulate by removing after a short delay via
+    # the log callback (called exactly once, on first detection)
+    def drop(_msg):
+        sentinel.unlink()
+
+    paused = wait_if_quiet_window(poll_s=0.05, log=drop)
+    assert paused >= 0.05
+
+
+def test_stale_sentinel_ignored_and_removed(sentinel):
+    sentinel.write_text("pid=1\n")
+    old = time.time() - quiet.STALE_S - 60
+    os.utime(sentinel, (old, old))
+    assert wait_if_quiet_window() == 0.0
+    assert not sentinel.exists()  # crashed holder's sentinel cleaned up
+
+
+def test_opt_out_env(sentinel, monkeypatch):
+    sentinel.write_text("pid=1\n")
+    monkeypatch.setenv("DQO_QUIET_IGNORE", "1")
+    assert wait_if_quiet_window() == 0.0
+
+
+def test_quiet_window_raises_and_clears(sentinel):
+    with quiet_window(wait_for_load=None) as load:
+        assert sentinel.exists()
+        assert "pid=" in sentinel.read_text()
+        # the holder's own timed calls must not deadlock on the sentinel
+        assert os.environ.get("DQO_QUIET_IGNORE") == "1"
+        assert wait_if_quiet_window() == 0.0
+        assert load is None or load >= 0.0
+    assert not sentinel.exists()
+    assert os.environ.get("DQO_QUIET_IGNORE") is None
+
+
+def test_quiet_window_clears_on_error(sentinel):
+    with pytest.raises(RuntimeError):
+        with quiet_window(wait_for_load=None):
+            raise RuntimeError("measurement crashed")
+    assert not sentinel.exists()
+
+
+def test_sentinel_path_env_override(sentinel):
+    assert sentinel_path() == str(sentinel)
