@@ -80,6 +80,14 @@ def quiet_window(wait_for_load: float | None = 2.0, wait_timeout_s: float = 180.
     loadavg observed when the wait ended (None if unreadable).
     """
     path = sentinel_path()
+    # one window at a time: if another measurement already holds the
+    # sentinel, queue behind it instead of clobbering (and then
+    # deleting) its file on our exit. A nested window in the SAME
+    # process (DQO_QUIET_IGNORE set by our own outer holder) skips the
+    # wait — it would deadlock on itself.
+    if os.environ.get("DQO_QUIET_IGNORE") != "1":
+        while _sentinel_age() is not None:
+            time.sleep(5.0)
     with open(path, "w") as f:
         f.write(f"pid={os.getpid()} t={time.time():.0f}\n")
     # the window-holder's own timed calls must never wait on its own

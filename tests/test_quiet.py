@@ -78,3 +78,31 @@ def test_quiet_window_clears_on_error(sentinel):
 
 def test_sentinel_path_env_override(sentinel):
     assert sentinel_path() == str(sentinel)
+
+
+def test_quiet_window_queues_behind_existing_holder(sentinel):
+    """A second measurement must wait for the first's window, never
+    clobber (and then delete) the other holder's sentinel."""
+    import threading
+
+    sentinel.write_text("pid=other\n")
+    t0 = time.monotonic()
+    threading.Timer(0.3, sentinel.unlink).start()
+    orig_sleep = time.sleep
+    # shrink the 5s poll so the test stays fast
+    quiet.time.sleep = lambda s: orig_sleep(min(s, 0.05))
+    try:
+        with quiet_window(wait_for_load=None):
+            waited = time.monotonic() - t0
+            assert waited >= 0.3  # queued behind the other holder
+            assert "pid=other" not in sentinel.read_text()
+    finally:
+        quiet.time.sleep = orig_sleep
+    assert not sentinel.exists()
+
+
+def test_nested_quiet_window_does_not_self_deadlock(sentinel):
+    with quiet_window(wait_for_load=None):
+        with quiet_window(wait_for_load=None):
+            assert sentinel.exists()
+    assert not sentinel.exists()

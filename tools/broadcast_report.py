@@ -106,4 +106,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from deep_query_optimization_spark.quiet import quiet_window
+
+    # default-vs-hinted timings are only evidence on a quiet box
+    with quiet_window():
+        main()

@@ -64,6 +64,11 @@ def main() -> None:
 
     needs_children = family in ("gerelt4", "treelstm")
     encode = engine.encode_sql_tree if needs_children else engine.encode_sql
+    from deep_query_optimization_spark.estimator.enc_cache import from_env as _cache_from_env
+
+    cache = _cache_from_env(engine.snapshot_path or "", engine.encoder.width)
+    if cache:
+        encode = cache.wrap("tree" if needs_children else "vec", encode)
     recs = []
     for sql, runtime, _ in ds.rows:
         enc = encode(sql)
@@ -84,6 +89,9 @@ def main() -> None:
     scored = df.withColumn("pred_log2", udf(*[F.col(c) for c in cols])).select(
         "query", "runtime", "pred_log2"
     )
+    if cache:
+        cache.save()
+        print(f"encoding cache: {cache.stats()}")
     rows = scored.collect()  # small: one double per query
 
     actual_b = [bucketize(r["runtime"]) for r in rows]

@@ -72,7 +72,13 @@ def main() -> None:
     engine.snapshot()
 
     model = LOADERS[family].load(model_json)
-    encode = engine.encode_sql_tree if family in TREE_FAMILIES else engine.encode_sql
+    kind = "tree" if family in TREE_FAMILIES else "vec"
+    encode = engine.encode_sql_tree if kind == "tree" else engine.encode_sql
+    from deep_query_optimization_spark.estimator.enc_cache import from_env as _cache_from_env
+
+    cache = _cache_from_env(engine.snapshot_path or "", engine.encoder.width)
+    if cache:
+        encode = cache.wrap(kind, encode)
 
     train = QueriesDataset.load(clean_csv)
     test = QueriesDataset.load(test_csv)
@@ -81,6 +87,9 @@ def main() -> None:
     tr = [encode(sql) for sql, _, _ in train.rows]
     te = [encode(sql) for sql, _, _ in test.rows]
     ca = [encode(sql) for sql, _, _ in calib.rows]
+    if cache:
+        cache.save()
+        print(f"encoding cache: {cache.stats()}")
     print(f"encoded {len(tr)}+{len(te)}+{len(ca)} in {time.time() - t0:.0f}s")
 
     before = evaluate(model, te, test.rows)

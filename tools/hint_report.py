@@ -107,6 +107,11 @@ def main() -> None:
         # rejects an override, chosen == default and est must follow it
         # (not the rejected candidate's min)
         est_chosen = next(s for s, sql in scored if sql == chosen_sql)
+        # margin-sensitivity bookkeeping (no extra timing): what would
+        # the FLAT margin have decided for this query? Lets the report
+        # compare flat vs per-bucket override behavior on one run.
+        best_i = min(range(len(scored)), key=lambda i: scored[i][0])
+        flat_would_reorder = best_i != 0 and scored[best_i][0] <= margin * est_default
         # interleaved double measurement: second timing kept for both
         # (JIT/page-cache discipline), default first then chosen
         engine.runner.time(default_sql)
@@ -125,6 +130,7 @@ def main() -> None:
                 "est_default_s": round(est_default, 3),
                 "est_hinted_s": round(est_chosen, 3),
                 "reordered": chosen_sql != default_sql,
+                "flat_would_reorder": flat_would_reorder,
                 "speedup": round(t_default / max(t_chosen, 1e-6), 3),
                 "default_sql": default_sql,
                 "hinted_sql": chosen_sql,
@@ -141,8 +147,21 @@ def main() -> None:
     kept = [r for r in rows if not r["reordered"]]
     summary = {
         "family": family,
+        # the exact weights the decisions came from — the same file the
+        # engine serves (engine.model), so judge/audit can cross-check
+        "model_file": str(est_dir / f"model_{family}.json"),
+        "margin_mode": "per-bucket" if margin_by_bucket is not None else "flat",
+        "flat_margin": margin,
+        "margin_by_bucket": {str(k): round(v, 3) for k, v in (margin_by_bucket or {}).items()},
+        "calibration_source": calib_path,
         "n_queries": len(rows),
         "n_reordered": len(reordered),
+        # flat-vs-per-bucket sensitivity, measured on the same scored
+        # candidates: how often would the flat gate have disagreed?
+        "n_flat_would_reorder": sum(1 for r in rows if r["flat_would_reorder"]),
+        "n_margin_disagreements": sum(
+            1 for r in rows if r["flat_would_reorder"] != r["reordered"]
+        ),
         "total_default_s": round(sum(r["default_s"] for r in rows), 2),
         "total_hinted_s": round(sum(r["hinted_s"] for r in rows), 2),
         "reordered_speedups": sorted(r["speedup"] for r in reordered),
@@ -157,4 +176,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    from deep_query_optimization_spark.quiet import quiet_window
+
+    # default-vs-hinted timings are only evidence on a quiet box:
+    # hold the sentinel so background jobs (relabel rows, training
+    # epochs) pause for the measurement's duration
+    with quiet_window():
+        main()

@@ -82,6 +82,9 @@ def build_phases() -> list[Phase]:
         "DQO_CALIB_CSV": str(REPO / calib_csv),
         "DQO_AUG": "2",
         "DQO_BATCH": "64",
+        # shared encoding cache: ~600 s of Spark plan-analysis per
+        # process collapses to a dict load on every rerun/sweep
+        "DQO_ENC_CACHE": str(REPO / clean / "enc_cache.pkl"),
     }
     phases = [
         Phase(

@@ -218,36 +218,50 @@ def main() -> None:
     enc_train = enc_test = tree_train = tree_test = None
     mscn_train = mscn_test = neo_train = neo_test = None
     enc_calib = tree_calib = mscn_calib = neo_calib = None
-    if need_vec:
-        enc_train = [engine.encode_sql(sql) for sql, _ in train_sqls]
-        enc_test = [engine.encode_sql(sql) for sql, _, _ in test.rows]
-        if calib:
-            enc_calib = [engine.encode_sql(sql) for sql, _, _ in calib.rows]
-    if need_tree:
-        tree_train = [engine.encode_sql_tree(sql) for sql, _ in train_sqls]
-        tree_test = [engine.encode_sql_tree(sql) for sql, _, _ in test.rows]
-        if calib:
-            tree_calib = [engine.encode_sql_tree(sql) for sql, _, _ in calib.rows]
     from deep_query_optimization_spark.estimator.mscn import MSCNCostModel, MSCNEncoder
     from deep_query_optimization_spark.estimator.neo import NeoCostModel, NeoEncoder
 
     menc = MSCNEncoder(engine.db)
     nenc = NeoEncoder(engine.db)
+    # optional on-disk encoding cache (DQO_ENC_CACHE=<path>): the Spark
+    # plan-analysis round-trips dominate this phase (~600 s for the 9k
+    # augmented corpus) and are pure in (sql, stats snapshot), so sweep
+    # and fine-tune reruns should pay them once
+    from deep_query_optimization_spark.estimator.enc_cache import from_env as _cache_from_env
+
+    cache = _cache_from_env(engine.snapshot_path or "", engine.encoder.width)
+    enc_vec = cache.wrap("vec", engine.encode_sql) if cache else engine.encode_sql
+    enc_tree = cache.wrap("tree", engine.encode_sql_tree) if cache else engine.encode_sql_tree
+    _mscn_fn = lambda sql: menc.encode(engine.parse(sql))  # noqa: E731
+    _neo_fn = lambda sql: nenc.encode(engine.parse(sql))  # noqa: E731
+    enc_mscn = cache.wrap("mscn", _mscn_fn) if cache else _mscn_fn
+    enc_neo = cache.wrap("neo", _neo_fn) if cache else _neo_fn
+
+    if need_vec:
+        enc_train = [enc_vec(sql) for sql, _ in train_sqls]
+        enc_test = [enc_vec(sql) for sql, _, _ in test.rows]
+        if calib:
+            enc_calib = [enc_vec(sql) for sql, _, _ in calib.rows]
+    if need_tree:
+        tree_train = [enc_tree(sql) for sql, _ in train_sqls]
+        tree_test = [enc_tree(sql) for sql, _, _ in test.rows]
+        if calib:
+            tree_calib = [enc_tree(sql) for sql, _, _ in calib.rows]
     if need_set:
         # set-based encoders are emission-order invariant — augmented
         # variants encode identically, so mscn/neo train on originals only
-        ir_train = [engine.parse(sql) for sql, _, _ in train.rows]
-        ir_test = [engine.parse(sql) for sql, _, _ in test.rows]
-        mscn_train = [menc.encode(q) for q in ir_train]
-        mscn_test = [menc.encode(q) for q in ir_test]
-        neo_train = [nenc.encode(q) for q in ir_train]
-        neo_test = [nenc.encode(q) for q in ir_test]
+        mscn_train = [enc_mscn(sql) for sql, _, _ in train.rows]
+        mscn_test = [enc_mscn(sql) for sql, _, _ in test.rows]
+        neo_train = [enc_neo(sql) for sql, _, _ in train.rows]
+        neo_test = [enc_neo(sql) for sql, _, _ in test.rows]
         if calib:
-            ir_calib = [engine.parse(sql) for sql, _, _ in calib.rows]
-            mscn_calib = [menc.encode(q) for q in ir_calib]
-            neo_calib = [nenc.encode(q) for q in ir_calib]
+            mscn_calib = [enc_mscn(sql) for sql, _, _ in calib.rows]
+            neo_calib = [enc_neo(sql) for sql, _, _ in calib.rows]
     rt_train = [rt for _, rt in train_sqls]
     rt_train_orig = [r for _, r, _ in train.rows]
+    if cache:
+        cache.save()
+        print(f"encoding cache: {cache.stats()}")
     print(f"encoded {len(train_sqls)} train (+{len(test.rows)} test) plans in {time.time() - t0:.0f}s")
 
     epochs = int(os.environ.get("DQO_EPOCHS", "150"))
