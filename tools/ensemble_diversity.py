@@ -79,15 +79,21 @@ def main() -> None:
             print(f"spawned {fam} on half_{name} (pid {procs[(name, fam)].pid})", flush=True)
     failed = [k for k, p in procs.items() if p.wait() != 0]
     if failed:
-        print(f"FAILED members: {failed}", flush=True)
-        sys.exit(1)
-    print(f"all members trained in {time.time() - t0:.0f}s", flush=True)
+        # an unattended experiment must deliver what trained, not die on
+        # the first lost member — drop failures, keep going if >= 2 left
+        print(f"FAILED members (dropped): {failed}", flush=True)
+    print(f"members trained in {time.time() - t0:.0f}s", flush=True)
 
     members = [
         f"{fam}:{out_root / f'half_{name}' / fam / f'model_{fam}.json'}"
         for name in halves
         for fam in fams
+        if (name, fam) not in failed
+        and (out_root / f"half_{name}" / fam / f"model_{fam}.json").exists()
     ]
+    if len(members) < 2:
+        print("fewer than two surviving members — no ensemble to evaluate", flush=True)
+        sys.exit(1)
     cmd = [sys.executable, str(TOOLS / "ensemble_eval.py"), out_json, *members,
            "--test", test_csv, "--sf", sf_dir]
     if calib_csv:
