@@ -170,13 +170,53 @@ class DQOEngine:
 
         return {"train": evaluate(enc_train, train.rows), "test": evaluate(enc_test, test.rows)}
 
+    def load_estimator(self, model_json: str, family: str | None = None):
+        """Serve saved cost-model weights from the live engine.
+
+        Loads a ``model_<family>.json`` written by tools/train_estimator.py
+        / pick_best_model.py so ``estimate()`` scores queries with the
+        EXACT model file the calibration/hint reports evaluated — the
+        reference's deploy step is likewise load-a-checkpoint-and-serve
+        (``dqo/estimator/evaluate.py:354`` compares checkpoints, then the
+        chosen one answers estimates). Family is inferred from the
+        ``model_<family>.json`` filename when omitted. MSCN/Neo use
+        set-based encoders the facade does not wire; load those via
+        their own modules.
+        """
+        from deep_query_optimization_spark.estimator.model import (
+            CNNCostModel,
+            Gerelt4CostModel,
+            GRUCostModel,
+            TreeLSTMCostModel,
+        )
+
+        loaders = {
+            "mlp": MLPCostModel,
+            "gru": GRUCostModel,
+            "cnn": CNNCostModel,
+            "treelstm": TreeLSTMCostModel,
+            "gerelt4": Gerelt4CostModel,
+        }
+        if family is None:
+            stem = os.path.basename(model_json)
+            if not (stem.startswith("model_") and stem.endswith(".json")):
+                raise ValueError(
+                    f"cannot infer family from {stem!r}; pass family= explicitly"
+                )
+            family = stem[len("model_") : -len(".json")].removesuffix("_finetuned")
+        if family not in loaders:
+            raise ValueError(f"unsupported family {family!r} (have {sorted(loaders)})")
+        self.model = loaders[family].load(model_json)
+        self._model_family = family
+        return self.model
+
     def estimate(self, sql: str) -> float:
         """Predicted runtime (seconds) for a query — the reference's
         whole reason to exist, served from the live engine. Structural
         models (TreeLSTM, Gerelt4) are detected by their ``children``
         forward argument and fed the tree encoding."""
         if self.model is None:
-            raise RuntimeError("train_estimator first")
+            raise RuntimeError("train_estimator or load_estimator first")
         import inspect
 
         needs_children = "children" in inspect.signature(self.model.forward).parameters

@@ -39,3 +39,41 @@ def test_engine_estimate_requires_training(spark, sf_dir):
     engine = DQOEngine(spark, sf_dir)
     with pytest.raises(RuntimeError):
         engine.estimate("SELECT 1")
+
+
+def test_engine_load_estimator_serves_saved_weights(spark, sf_dir, tmp_path):
+    """engine.load_estimator must serve the exact saved checkpoint:
+    predictions from the engine equal predictions from the loaded model
+    object, for both a vector family (mlp) and a tree family (gerelt4)."""
+    import numpy as np
+
+    from deep_query_optimization_spark.engine import DQOEngine
+    from deep_query_optimization_spark.estimator.model import (
+        Gerelt4CostModel,
+        MLPCostModel,
+    )
+
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(tmp_path / "schema.json"))
+    engine.snapshot()
+    sql = "SELECT COUNT(*) AS c FROM orders"
+
+    mlp = MLPCostModel(in_dim=engine.encoder.width, seed=3)
+    mlp_path = tmp_path / "model_mlp.json"
+    mlp.save(str(mlp_path))
+    engine.load_estimator(str(mlp_path))
+    assert engine._model_family == "mlp"
+    direct = float(mlp.predict([engine.encode_sql(sql)])[0])
+    served = float(np.log2(engine.estimate(sql)))
+    assert abs(served - np.clip(direct, -10, 20)) < 1e-6
+
+    g4 = Gerelt4CostModel(in_dim=engine.encoder.width, seed=3)
+    g4_path = tmp_path / "model_gerelt4_finetuned.json"
+    g4.save(str(g4_path))
+    engine.load_estimator(str(g4_path))  # family inferred, _finetuned stripped
+    assert engine._model_family == "gerelt4"
+    assert engine.estimate(sql) > 0
+
+    with pytest.raises(ValueError):
+        engine.load_estimator(str(tmp_path / "weights.json"))
+    with pytest.raises(ValueError):
+        engine.load_estimator(str(mlp_path), family="mscn")
