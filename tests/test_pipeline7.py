@@ -170,3 +170,36 @@ def test_pick_prefers_finetuned_when_better(tmp_path):
 def test_pick_raises_when_nothing_trained(tmp_path):
     with pytest.raises(SystemExit):
         pick(tmp_path / "none", tmp_path / "none2", tmp_path / "b", tmp_path / "s", tmp_path / "t")
+
+
+def test_sweep_candidates_join_the_pick(tmp_path, monkeypatch):
+    """A capacity-sweep config that beats scratch/finetune must win the
+    pick, with its (embed x hidden) config recorded in the label."""
+    from pick_best_model import collect_sweep_candidates
+
+    train = _mk_train_root(tmp_path, {"gru": 0.6})
+    sweep = tmp_path / "sweep"
+    for tag, fam, acc in [("gru_64x64", "gru", 0.75), ("mscn_64x64", "mscn", 0.99), ("cnn_96x96", "cnn", 0.62)]:
+        d = sweep / tag
+        d.mkdir(parents=True)
+        (d / f"model_{fam}.json").write_text("{}")
+        (d / "report.json").write_text(
+            json.dumps({"models": {fam: {"test": {"accuracy": acc}, "test_calibrated": {"accuracy": acc}}}})
+        )
+    fams = ("gru", "treelstm", "gerelt4", "cnn")
+    cands = collect_sweep_candidates([str(sweep)], fams)
+    # mscn excluded (not servable by the report tools), gru + cnn in
+    assert {(c[1], c[3]) for c in cands} == {
+        ("gru", "capacity-sweep 64x64"),
+        ("cnn", "capacity-sweep 96x96"),
+    }
+
+    schema = tmp_path / "schema.json"
+    schema.write_text("{}")
+    test_csv = tmp_path / "test.csv"
+    test_csv.write_text("query,runtime,plan\n")
+    monkeypatch.setenv("DQO_SWEEP_DIRS", str(sweep))
+    choice = pick(train, tmp_path / "noft", tmp_path / "best", schema, test_csv, fams)
+    assert choice["family"] == "gru"
+    assert choice["label"] == "capacity-sweep 64x64"
+    assert choice["accuracy"] == 0.75

@@ -32,6 +32,7 @@ from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
 from deep_query_optimization_spark.estimator import QueriesDataset  # noqa: E402
 from deep_query_optimization_spark.estimator.metrics import bucketize, mae, mcc_metrics  # noqa: E402
 from deep_query_optimization_spark.estimator.model import (  # noqa: E402
+    CNNCostModel,
     Gerelt4CostModel,
     GRUCostModel,
     MLPCostModel,
@@ -42,6 +43,7 @@ from deep_query_optimization_spark.session import get_spark  # noqa: E402
 
 LOADERS = {
     "mlp": MLPCostModel,
+    "cnn": CNNCostModel,
     "gru": GRUCostModel,
     "gerelt4": Gerelt4CostModel,
     "treelstm": TreeLSTMCostModel,

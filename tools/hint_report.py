@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from deep_query_optimization_spark.engine import DQOEngine  # noqa: E402
 from deep_query_optimization_spark.estimator.model import (  # noqa: E402
+    CNNCostModel,
     Gerelt4CostModel,
     GRUCostModel,
     MLPCostModel,
@@ -36,6 +37,7 @@ from deep_query_optimization_spark.session import get_spark  # noqa: E402
 
 LOADERS = {
     "mlp": MLPCostModel,
+    "cnn": CNNCostModel,
     "gru": GRUCostModel,
     "gerelt4": Gerelt4CostModel,
     "treelstm": TreeLSTMCostModel,

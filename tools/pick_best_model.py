@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 from pathlib import Path
@@ -65,6 +66,35 @@ def collect_candidates(
     return cands
 
 
+def collect_sweep_candidates(sweep_roots, families) -> list[tuple[float, str, str, str]]:
+    """Capacity-sweep candidates (tools/sweep_capacity.py layout:
+    <root>/<family>_<embed>x<hidden>[a<aug>]/report.json + model file).
+    Only families the serving tools can load are eligible; missing or
+    failed configs are skipped."""
+    cands: list[tuple[float, str, str, str]] = []
+    for root in sweep_roots:
+        root = Path(root)
+        if not root.is_dir():
+            continue
+        for d in sorted(root.iterdir()):
+            rep = d / "report.json"
+            if not rep.exists() or "_" not in d.name:
+                continue
+            fam = d.name.split("_", 1)[0]
+            path = d / f"model_{fam}.json"
+            if fam not in families or not path.exists():
+                continue
+            m = json.loads(rep.read_text()).get("models", {}).get(fam)
+            if not m:
+                continue
+            acc = max(
+                m.get("test", {}).get("accuracy", 0.0),
+                (m.get("test_calibrated") or {}).get("accuracy", 0.0),
+            )
+            cands.append((acc, fam, str(path), f"capacity-sweep {d.name.split('_', 1)[1]}"))
+    return cands
+
+
 def pick(
     train_root: Path,
     ft_root: Path,
@@ -74,6 +104,9 @@ def pick(
     families=STRUCTURAL,
 ) -> dict:
     cands = collect_candidates(train_root, ft_root, families)
+    sweep_dirs = [p for p in os.environ.get("DQO_SWEEP_DIRS", "").split(",") if p]
+    if sweep_dirs:
+        cands += collect_sweep_candidates(sweep_dirs, families)
     if not cands:
         raise SystemExit(f"no trained models found under {train_root} / {ft_root}")
     cands.sort(key=lambda c: c[0], reverse=True)

@@ -129,7 +129,9 @@ def build_phases() -> list[Phase]:
                 ".data/est_r7_best",
                 f"{clean}/schema.json",
                 test_csv,
+                "gru,treelstm,gerelt4,cnn",
             ],
+            env={"DQO_SWEEP_DIRS": ".data/est_sweep"},
             deps=["train8"],
         ),
         Phase(
