@@ -111,6 +111,39 @@ def quiet_window(wait_for_load: float | None = 2.0, wait_timeout_s: float = 180.
             os.remove(path)
 
 
+@contextlib.contextmanager
+def hold_quiet_window(refresh_s: float = 60.0, wait_for_load: float | None = 2.0):
+    """Raise the sentinel for a LONG-lived measurement — corpus
+    labeling, where every row is a timed query and co-located trainers
+    shift labels by whole log2 buckets (reports/estimator_label_noise.json).
+
+    ``quiet_window`` writes the sentinel once, but the staleness guard
+    reclaims a sentinel older than ``STALE_S`` (a crashed bench must
+    not freeze background work forever) — too short for an hours-long
+    generation run. This variant refreshes the sentinel's mtime from a
+    daemon thread while the holder is alive, so background jobs stay
+    paused exactly as long as the generator is actually running and
+    resume the moment it exits (cleanly or not: a killed process stops
+    refreshing and the guard reclaims the file within ``STALE_S``)."""
+    import threading
+
+    stop = threading.Event()
+    with quiet_window(wait_for_load=wait_for_load) as load:
+
+        def _refresh() -> None:
+            while not stop.wait(refresh_s):
+                with contextlib.suppress(OSError):
+                    os.utime(sentinel_path())
+
+        t = threading.Thread(target=_refresh, daemon=True, name="quiet-sentinel-refresh")
+        t.start()
+        try:
+            yield load
+        finally:
+            stop.set()
+            t.join(timeout=refresh_s + 5)
+
+
 def _read_loadavg() -> float | None:
     try:
         with open("/proc/loadavg") as f:

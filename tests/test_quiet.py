@@ -106,3 +106,21 @@ def test_nested_quiet_window_does_not_self_deadlock(sentinel):
         with quiet_window(wait_for_load=None):
             assert sentinel.exists()
     assert not sentinel.exists()
+
+
+def test_hold_quiet_window_refreshes_past_staleness(sentinel, monkeypatch):
+    """An hours-long corpus generation must keep the sentinel LIVE:
+    the refresh thread bumps mtime, so even with the staleness guard
+    shrunk to fractions of a second the sentinel is never reclaimed —
+    and it is removed promptly on exit."""
+    from deep_query_optimization_spark.quiet import hold_quiet_window
+
+    monkeypatch.setattr(quiet, "STALE_S", 0.2)
+    with hold_quiet_window(refresh_s=0.05, wait_for_load=None):
+        time.sleep(0.5)  # > STALE_S: unrefreshed it would be reclaimed
+        assert quiet._sentinel_age() is not None  # still live
+        assert sentinel.exists()
+    assert not sentinel.exists()
+    # after exit the refresher is stopped: nothing recreates the file
+    time.sleep(0.15)
+    assert not sentinel.exists()

@@ -95,21 +95,37 @@ def main() -> None:
         )
         print(f"resuming from {len(prev.rows)} existing rows")
 
+    # DQO_HOLD_QUIET=1: this run's labels are the product — raise the
+    # quiet-window sentinel for the WHOLE generation (refreshed past
+    # the staleness guard) so sentinel-honoring background jobs
+    # (trainer epochs, relabel rows) pause instead of contaminating
+    # the timings. Off by default: a casual generation shouldn't
+    # freeze the rest of the machine.
+    import contextlib
+
+    hold = contextlib.ExitStack()
+    if os.environ.get("DQO_HOLD_QUIET") == "1":
+        from deep_query_optimization_spark.quiet import hold_quiet_window
+
+        load = hold.enter_context(hold_quiet_window())
+        print(f"holding quiet window for the full run (loadavg at start {load})", flush=True)
+
     deadline = time.monotonic() + budget_s
     t0 = time.monotonic()
-    while len(bal.dataset) < n and time.monotonic() < deadline:
-        target = min(n, len(bal.dataset) + every)
-        bal.generate(target, time_budget_s=deadline - time.monotonic())
-        ds = QueriesDataset()
-        for sql, rt in bal.dataset:
-            ds.add(sql, rt)
-        ds.save(str(csv_path))
-        occupied = {b: c for b, c in sorted(bal.histogram.items()) if c}
-        print(
-            f"[{time.monotonic() - t0:7.0f}s] {len(bal.dataset)} rows, "
-            f"histogram {occupied}",
-            flush=True,
-        )
+    with hold:
+        while len(bal.dataset) < n and time.monotonic() < deadline:
+            target = min(n, len(bal.dataset) + every)
+            bal.generate(target, time_budget_s=deadline - time.monotonic())
+            ds = QueriesDataset()
+            for sql, rt in bal.dataset:
+                ds.add(sql, rt)
+            ds.save(str(csv_path))
+            occupied = {b: c for b, c in sorted(bal.histogram.items()) if c}
+            print(
+                f"[{time.monotonic() - t0:7.0f}s] {len(bal.dataset)} rows, "
+                f"histogram {occupied}",
+                flush=True,
+            )
     print(f"done: {len(bal.dataset)} rows in {time.monotonic() - t0:.0f}s -> {csv_path}")
 
 
