@@ -284,10 +284,18 @@ def main() -> None:
         "linear": LinearCostModel(),
         "mlp": MLPCostModel(in_dim=engine.encoder.width, seed=0),
         "gru": GRUCostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
-        "cnn": CNNCostModel(in_dim=engine.encoder.width, seed=0),
+        # cnn filter count tracks embed width so the conv feature map
+        # widens with the embedding it reads
+        "cnn": CNNCostModel(
+            in_dim=engine.encoder.width,
+            embed_dim=embed,
+            n_filters=max(16, embed // 2),
+            hidden=hidden,
+            seed=0,
+        ),
         "treelstm": TreeLSTMCostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
         "gerelt4": Gerelt4CostModel(in_dim=engine.encoder.width, embed_dim=embed, hidden=hidden, seed=0),
-        "mscn": MSCNCostModel(widths=menc.widths, seed=0),
+        "mscn": MSCNCostModel(widths=menc.widths, hidden=hidden, seed=0),
         "neo": NeoCostModel(in_dim=nenc.width, seed=0),
     }
     families = {k: v for k, v in families.items() if k in selected}
