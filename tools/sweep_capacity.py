@@ -63,6 +63,12 @@ def main() -> None:
             DQO_HIDDEN=str(cfg["hidden"]),
         )
         env.setdefault("DQO_ENC_CACHE", str((workload_dir / "enc_cache.pkl").resolve()))
+        # cap per-process BLAS threads: at >=64x64 numpy's BLAS spawns a
+        # thread per core, and a fleet of such processes oversubscribes
+        # the box ~4x (observed loadavg >120 on 32 cores), slowing every
+        # member; explicit env still wins
+        for knob in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+            env.setdefault(knob, "4")
         if cfg["aug"]:
             env["DQO_AUG"] = str(cfg["aug"])
         log = open(d / "train.log", "w")

@@ -51,6 +51,10 @@ def main() -> None:
             if src.exists() and not dst.exists():
                 dst.symlink_to(src.resolve())
         env = dict(os.environ, DQO_FAMILIES=fam)
+        # cap per-process BLAS threads — an 8-process fleet of
+        # free-threading BLAS oversubscribes the box (see sweep_capacity)
+        for knob in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+            env.setdefault(knob, "4")
         for knob in ("EPOCHS", "BATCH", "LR", "AUG"):
             per_fam = os.environ.get(f"DQO_{knob}_{fam.upper()}")
             if per_fam is not None:
