@@ -250,6 +250,33 @@ def write_models_report() -> None:
                 "after_calibrated": r.get("after_calibrated", {}),
                 "clean_rows": r.get("clean_rows"),
             }
+    # fine-tune recipe variants (cosine decay, longer run, cnn) — each
+    # an isolated one-knob experiment against the same frozen test set
+    variants = {}
+    for tag, d in (
+        ("gru_cosine_e100", ".data/ft_r7cos/finetune_gru.json"),
+        ("gerelt4_e120", ".data/ft_r7long/finetune_gerelt4.json"),
+        ("cnn_e60", ".data/ft_r7cnn/finetune_cnn.json"),
+    ):
+        p = REPO / d
+        if p.exists():
+            r = json.loads(p.read_text())
+            variants[tag] = {"after": r.get("after", {}), "after_calibrated": r.get("after_calibrated", {})}
+    # capacity sweeps (the round-6 hypothesis test: with clean labels,
+    # the 32/32 defaults are the binding constraint)
+    sweeps = {}
+    for p in sorted((REPO / "reports").glob("estimator_capacity_sweep*.json")):
+        r = json.loads(p.read_text())
+        for cfg in r.get("configs", []):
+            if "test" in cfg:
+                tag = f"{r['family']}_{cfg['embed']}x{cfg['hidden']}" + (
+                    f"a{cfg['aug']}" if cfg.get("aug") else ""
+                )
+                sweeps[tag] = {
+                    "test": cfg["test"],
+                    "test_calibrated": cfg.get("test_calibrated", {}),
+                    "fit_seconds": cfg.get("fit_seconds"),
+                }
     out = {
         "protocol": (
             "train on the full quiet-relabeled clean corpus "
@@ -262,6 +289,8 @@ def write_models_report() -> None:
         "corpus": {k: rep.get(k) for k in ("corpus_rows", "train_rows", "test_rows", "calib_rows", "bucket_histogram", "augmented_rows") if k in rep},
         "models": rep.get("models", {}),
         "finetune": ft,
+        "finetune_variants": variants,
+        "capacity_sweeps": sweeps,
         "best": choice,
     }
     (REPO / "reports/estimator_models_sf1.json").write_text(json.dumps(out, indent=1))
