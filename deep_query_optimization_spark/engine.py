@@ -18,6 +18,7 @@ parity with the reference's driver scripts (``dqo/lab/drivers/*``,
 
 from __future__ import annotations
 
+import json
 import math
 import os
 
@@ -209,6 +210,17 @@ class DQOEngine:
         self.model = loaders[family].load(model_json)
         self._model_family = family
         return self.model
+
+    def load_best(self, best_dir: str = ".data/est_r7_best"):
+        """Serve the tournament winner tools/pick_best_model.py staged:
+        reads ``choice.json`` for the winning family and loads the
+        ``model_<family>.json`` it copied — so the live engine, the
+        calibration report, and the hint report all score with one and
+        the same checkpoint file."""
+        with open(os.path.join(best_dir, "choice.json")) as fh:
+            choice = json.load(fh)
+        fam = choice["family"]
+        return self.load_estimator(os.path.join(best_dir, f"model_{fam}.json"), fam)
 
     def estimate(self, sql: str) -> float:
         """Predicted runtime (seconds) for a query — the reference's

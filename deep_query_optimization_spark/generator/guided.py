@@ -173,7 +173,12 @@ class BalancedQueryGen:
         import time as _time
 
         deadline = _time.monotonic() + time_budget_s if time_budget_s else None
-        seen: set[str] = set()
+        # seed dedup from everything already recorded: callers invoke
+        # generate() repeatedly (checkpointed batches) and restore()
+        # pre-fills the dataset on resume — a fresh set here would
+        # re-record those SQLs, and a duplicated row that lands on both
+        # sides of a later train/test split is a silent leak
+        seen: set[str] = {sql for sql, _ in self.dataset}
         while len(self.dataset) < n:
             if deadline is not None and _time.monotonic() > deadline:
                 break

@@ -34,14 +34,37 @@ def sentinel_path() -> str:
     return os.environ.get("DQO_QUIET_SENTINEL", "/root/repo/.quiet_window")
 
 
+def _holder_alive(path: str) -> bool | None:
+    """Is the pid recorded in the sentinel still running? None when the
+    file carries no readable pid (treat as unknown -> rely on mtime)."""
+    try:
+        with open(path) as f:
+            head = f.read(256)
+        pid = int(head.split("pid=", 1)[1].split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return None  # e.g. EPERM: alive but not ours
+    return True
+
+
 def _sentinel_age() -> float | None:
-    """Age in seconds of a live sentinel, else None (absent or stale)."""
+    """Age in seconds of a live sentinel, else None (absent or stale).
+
+    A sentinel is dead — removed, and None returned — when its holder
+    pid no longer exists (a SIGKILLed generator cannot run its cleanup;
+    waiters must not queue 30 minutes behind a corpse) or, for
+    pid-less/unreadable files, when mtime exceeds ``STALE_S``."""
     path = sentinel_path()
     try:
         age = time.time() - os.stat(path).st_mtime
     except OSError:
         return None
-    if age > STALE_S:
+    if age > STALE_S or _holder_alive(path) is False:
         with contextlib.suppress(OSError):
             os.remove(path)  # crashed measurement left it behind
         return None

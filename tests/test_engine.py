@@ -77,3 +77,25 @@ def test_engine_load_estimator_serves_saved_weights(spark, sf_dir, tmp_path):
         engine.load_estimator(str(tmp_path / "weights.json"))
     with pytest.raises(ValueError):
         engine.load_estimator(str(mlp_path), family="mscn")
+
+
+def test_engine_load_best_serves_picked_checkpoint(spark, sf_dir, tmp_path):
+    """engine.load_best reads pick_best_model.py's choice.json and
+    serves the winner's checkpoint — the single file the calibration
+    and hint reports also score with."""
+    import json
+
+    from deep_query_optimization_spark.engine import DQOEngine
+    from deep_query_optimization_spark.estimator.model import GRUCostModel
+
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(tmp_path / "schema.json"))
+    engine.snapshot()
+    best = tmp_path / "best"
+    best.mkdir()
+    gru = GRUCostModel(in_dim=engine.encoder.width, seed=5)
+    gru.save(str(best / "model_gru.json"))
+    (best / "choice.json").write_text(json.dumps({"family": "gru", "accuracy": 0.7}))
+
+    engine.load_best(str(best))
+    assert engine._model_family == "gru"
+    assert engine.estimate("SELECT COUNT(*) AS c FROM orders") > 0

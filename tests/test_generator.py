@@ -451,3 +451,24 @@ def test_broadcast_by_stats_hints_filtered_relation(db):
     )
     assert sql2 == q.to_sql()
     assert not any(d["hinted"] for d in decisions2)
+
+
+def test_balanced_gen_never_rerecords_restored_rows(db):
+    """Resume must not duplicate rows: generate() seeds its dedup set
+    from the restored dataset, so a restarted generator with the same
+    seed re-executes early queries without recording them twice — a
+    duplicated SQL that later splits across train/test is a leak."""
+    runner = FakeRunner()
+    first = BalancedQueryGen(db, runner, seed=9, queue_size=3, patience=10)
+    rows = first.generate(15)
+
+    resumed = BalancedQueryGen(db, runner, seed=9, queue_size=3, patience=10)
+    resumed.restore(first.state())
+    resumed.generate(30)
+    sqls = [sql for sql, _ in resumed.dataset]
+    assert len(sqls) == len(set(sqls)), "resume re-recorded restored SQLs"
+    assert len(resumed.dataset) >= 30
+    # batched continuation within one instance must not duplicate either
+    resumed.generate(40)
+    sqls = [sql for sql, _ in resumed.dataset]
+    assert len(sqls) == len(set(sqls))

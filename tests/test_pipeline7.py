@@ -203,3 +203,30 @@ def test_sweep_candidates_join_the_pick(tmp_path, monkeypatch):
     assert choice["family"] == "gru"
     assert choice["label"] == "capacity-sweep 64x64"
     assert choice["accuracy"] == 0.75
+
+
+def test_filter_workload_drops_heldout_rows(tmp_path):
+    """The pretrain-corpus scrub removes exactly the rows whose SQL is
+    in a held-out CSV, keeps the rest, and rewrites in place."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from deep_query_optimization_spark.estimator import QueriesDataset
+    from tools.filter_workload import filter_dir
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    ds = QueriesDataset()
+    ds.add("SELECT 1 AS a FROM t", 0.5)
+    ds.add("SELECT 2 AS a FROM t", 1.0)
+    ds.add("SELECT 3 AS a FROM t", 2.0)
+    ds.save(str(corpus / "workload.csv"))
+
+    held = QueriesDataset()
+    held.add("SELECT 2 AS a FROM t", 1.1)  # same SQL, different label
+    held.save(str(tmp_path / "test_clean.csv"))
+
+    kept, dropped = filter_dir(corpus, [tmp_path / "test_clean.csv"])
+    assert (kept, dropped) == (2, 1)
+    back = QueriesDataset.load(str(corpus / "workload.csv"))
+    assert {sql for sql, _, _ in back.rows} == {"SELECT 1 AS a FROM t", "SELECT 3 AS a FROM t"}

@@ -124,3 +124,27 @@ def test_hold_quiet_window_refreshes_past_staleness(sentinel, monkeypatch):
     # after exit the refresher is stopped: nothing recreates the file
     time.sleep(0.15)
     assert not sentinel.exists()
+
+
+def test_dead_holder_sentinel_removed_immediately(sentinel):
+    """A SIGKILLed holder can't clean up; waiters must reclaim its
+    sentinel on sight instead of queuing STALE_S behind a corpse."""
+    import subprocess
+
+    p = subprocess.Popen(["sleep", "60"])
+    p.kill()
+    p.wait()
+    sentinel.write_text(f"pid={p.pid} t=123\n")  # fresh mtime, dead pid
+    assert wait_if_quiet_window() == 0.0
+    assert not sentinel.exists()
+
+
+def test_pidless_sentinel_falls_back_to_mtime(sentinel):
+    """A sentinel without a parseable pid keeps the mtime-only
+    semantics: fresh -> still honored."""
+    sentinel.write_text("something else\n")
+
+    def drop(_msg):
+        sentinel.unlink()
+
+    assert wait_if_quiet_window(poll_s=0.05, log=drop) >= 0.05

@@ -264,6 +264,15 @@ def main() -> None:
         print(f"encoding cache: {cache.stats()}")
     print(f"encoded {len(train_sqls)} train (+{len(test.rows)} test) plans in {time.time() - t0:.0f}s")
 
+    # DQO_ENCODE_ONLY=1: stop after populating the encoding cache.
+    # One single process pays the Spark plan-analysis round-trips once;
+    # the parallel per-family fleet (tools/train_parallel.py) then runs
+    # almost Spark-free against the warm cache instead of eight
+    # processes each re-analyzing the same corpus concurrently.
+    if os.environ.get("DQO_ENCODE_ONLY") == "1":
+        print("DQO_ENCODE_ONLY=1: cache warmed, skipping training")
+        return
+
     epochs = int(os.environ.get("DQO_EPOCHS", "150"))
     batch = int(os.environ.get("DQO_BATCH", "0")) or None
     lr = float(os.environ.get("DQO_LR", "2e-3"))
