@@ -62,6 +62,7 @@ def reorder_by_estimate(
     seed: int = 0,
     margin: float = 1.0,
     margin_by_bucket: dict[int, float] | None = None,
+    min_gain_s: float = 0.0,
 ) -> tuple[str, list[tuple[float, str]]]:
     """Pick the cheapest-estimated join order for ``query``.
 
@@ -82,13 +83,24 @@ def reorder_by_estimate(
     ``margin_by_bucket`` (from ``margins_from_calibration``) replaces
     the flat margin with one keyed on the default plan's predicted
     log2 bucket — the calibration report shows reliability differs by
-    bucket, so override authority should too."""
+    bucket, so override authority should too.
+
+    ``min_gain_s`` is an absolute expected-gain floor on top of the
+    ratio margin: the measured hint suite shows every regression
+    concentrated in sub-second queries, where the predicted delta
+    (tens of ms) is far below both the estimator's MAE and the fixed
+    per-query planning/scheduling overhead — a 2x ratio win on a 60 ms
+    estimate is not a signal. Requiring
+    ``estimate(default) - estimate(best) >= min_gain_s`` makes the
+    override authority scale with the stakes: cheap queries keep
+    Catalyst's order, expensive ones (where a wrong join order costs
+    minutes at 100 TB) remain eligible."""
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
     if margin_by_bucket is not None:
         bucket = int(min(8, max(-3, round(math.log2(max(scored[0][0], 1e-3))))))
         margin = margin_by_bucket.get(bucket, margin)
-    if scored[best][0] > margin * scored[0][0]:
+    if scored[best][0] > margin * scored[0][0] or scored[0][0] - scored[best][0] < min_gain_s:
         best = 0
     return scored[best][1], scored
 

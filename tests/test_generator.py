@@ -472,3 +472,50 @@ def test_balanced_gen_never_rerecords_restored_rows(db):
     resumed.generate(40)
     sqls = [sql for sql, _ in resumed.dataset]
     assert len(sqls) == len(set(sqls))
+
+
+def test_hints_min_gain_floor_gates_cheap_overrides(db):
+    """Absolute expected-gain floor: a big RATIO win on a tiny estimate
+    is noise (measured hint suite: every regression was a sub-second
+    query whose predicted delta sat under the estimator's MAE), so
+    min_gain_s must keep the default; the same ratio at a scale where
+    the delta clears the floor must still override."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import (
+        order_variants,
+        reorder_by_estimate,
+    )
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(
+        Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER))
+    )
+    variants = order_variants(q, limit=2)
+
+    class FakeEngine:
+        def __init__(self, costs):
+            self.costs = costs
+
+        def estimate(self, sql):
+            return self.costs[sql]
+
+    # 2x ratio win, but only 30 ms absolute: floor rejects, no floor takes
+    cheap = FakeEngine({variants[0]: 0.06, variants[1]: 0.03})
+    chosen, _ = reorder_by_estimate(cheap, q, limit=2, margin=0.6, min_gain_s=0.25)
+    assert chosen == variants[0]
+    chosen, _ = reorder_by_estimate(cheap, q, limit=2, margin=0.6)
+    assert chosen == variants[1]
+
+    # same 2x ratio at 6 s: the 3 s predicted gain clears any sane floor
+    dear = FakeEngine({variants[0]: 6.0, variants[1]: 3.0})
+    chosen, _ = reorder_by_estimate(dear, q, limit=2, margin=0.6, min_gain_s=0.25)
+    assert chosen == variants[1]

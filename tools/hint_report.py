@@ -87,6 +87,11 @@ def main() -> None:
         seed += 1
 
     margin = float(os.environ.get("DQO_HINT_MARGIN", "0.6"))
+    # DQO_HINT_MIN_GAIN_S: absolute expected-gain floor — overrides on
+    # queries whose predicted delta is below this are noise trades (the
+    # measured suite concentrates every regression in sub-second
+    # queries whose predicted gain is under the estimator's MAE)
+    min_gain_s = float(os.environ.get("DQO_HINT_MIN_GAIN_S", "0.25"))
     # DQO_HINT_CALIB = calibration_report.py output: replaces the flat
     # margin with per-bucket margins scaled by measured reliability
     margin_by_bucket = None
@@ -102,7 +107,13 @@ def main() -> None:
     for qseed, q in queries:
         default_sql = q.to_sql()
         chosen_sql, scored = reorder_by_estimate(
-            engine, q, limit=6, seed=qseed, margin=margin, margin_by_bucket=margin_by_bucket
+            engine,
+            q,
+            limit=6,
+            seed=qseed,
+            margin=margin,
+            margin_by_bucket=margin_by_bucket,
+            min_gain_s=min_gain_s,
         )
         est_default = scored[0][0]
         # estimate of the plan that actually runs: when the margin gate
@@ -114,15 +125,22 @@ def main() -> None:
         # compare flat vs per-bucket override behavior on one run.
         best_i = min(range(len(scored)), key=lambda i: scored[i][0])
         flat_would_reorder = best_i != 0 and scored[best_i][0] <= margin * est_default
-        # interleaved double measurement: second timing kept for both
-        # (JIT/page-cache discipline), default first then chosen
+        # measurement discipline: one warm pass each, then three
+        # interleaved timed passes (D H D H D H), keep the per-plan
+        # MEDIAN — back-to-back single timings of sub-second plans swing
+        # >2x run-to-run (scheduler + GC + page-cache luck), enough to
+        # flip a pair between "win" and "regression" across reruns;
+        # interleaving ensures both plans sample the same box state
         engine.runner.time(default_sql)
-        t_default = engine.runner.time(default_sql)
         if chosen_sql == default_sql:
-            t_chosen = t_default
+            t_default = t_chosen = sorted(engine.runner.time(default_sql) for _ in range(3))[1]
         else:
             engine.runner.time(chosen_sql)
-            t_chosen = engine.runner.time(chosen_sql)
+            td, tc = [], []
+            for _ in range(3):
+                td.append(engine.runner.time(default_sql))
+                tc.append(engine.runner.time(chosen_sql))
+            t_default, t_chosen = sorted(td)[1], sorted(tc)[1]
         rows.append(
             {
                 "seed": qseed,
@@ -154,6 +172,7 @@ def main() -> None:
         "model_file": str(est_dir / f"model_{family}.json"),
         "margin_mode": "per-bucket" if margin_by_bucket is not None else "flat",
         "flat_margin": margin,
+        "min_gain_s": min_gain_s,
         "margin_by_bucket": {str(k): round(v, 3) for k, v in (margin_by_bucket or {}).items()},
         "calibration_source": calib_path,
         "n_queries": len(rows),
