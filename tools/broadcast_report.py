@@ -67,11 +67,18 @@ def main() -> None:
     rows = []
     for qseed, q, hinted_sql, decisions in candidates:
         default_sql = q.to_sql()
-        # interleaved double measurement, second timing kept for both
+        # one warm pass each, then three interleaved timed passes
+        # (D H D H D H), per-plan MEDIAN kept — single timings of
+        # sub-second plans swing >2x run-to-run, enough to turn a
+        # broadcast win into a phantom regression (same discipline as
+        # tools/hint_report.py)
         engine.runner.time(default_sql)
-        t_default = engine.runner.time(default_sql)
         engine.runner.time(hinted_sql)
-        t_hinted = engine.runner.time(hinted_sql)
+        td, th = [], []
+        for _ in range(3):
+            td.append(engine.runner.time(default_sql))
+            th.append(engine.runner.time(hinted_sql))
+        t_default, t_hinted = sorted(td)[1], sorted(th)[1]
         rows.append(
             {
                 "seed": qseed,
