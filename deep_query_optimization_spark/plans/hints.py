@@ -217,6 +217,7 @@ def broadcast_by_stats(
     threshold_bytes: int = 32 * 1024 * 1024,
     margin: float = 0.5,
     auto_bytes: int = SPARK_AUTO_BROADCAST_BYTES,
+    min_probe_bytes: int = 0,
 ) -> tuple[str, list[dict]]:
     """Emit ``query`` with ``/*+ BROADCAST(alias) */`` hints for joined
     relations whose estimated post-filter size fits an executor's
@@ -233,13 +234,34 @@ def broadcast_by_stats(
     - raw bytes > SPARK_AUTO_BROADCAST_BYTES (if the raw file is
       already under Catalyst's own threshold the hint is a no-op);
     and never for the largest relation of the query (broadcasting the
-    fact side is how you OOM 1000 executors at once)."""
+    fact side is how you OOM 1000 executors at once).
+
+    ``min_probe_bytes`` additionally requires the query's LARGEST
+    relation — the probe side whose shuffle the broadcast would save —
+    to exceed a floor before any hint fires. Broadcasting has a fixed
+    build-and-ship cost; measured at sf1 (median-of-3,
+    reports/broadcast_hints_sf1.json) a hint into a ~20 MB probe side
+    pays that cost for a shuffle that was nearly free, the one real
+    regression in the suite. The stakes gate mirrors
+    ``reorder_by_estimate``'s ``min_gain_s``: act only where the saved
+    work can exceed the cost of acting. 0 disables (unit-test scale)."""
     if len(query.relations) < 2 or not query.joins:
         return query.to_sql(), []
     joined = {t for j in query.joins for t in (j.left.table, j.right.table)}
     aliases = query._aliases()
     sized = {rel: estimate_filtered_bytes(db, query, rel) for rel in sorted(query.relations)}
     largest = max(sized, key=lambda r: sized[r][0])
+    if sized[largest][0] < min_probe_bytes:
+        return query.to_sql(), [
+            {
+                "table": rel.name,
+                "alias": aliases[rel],
+                "raw_bytes": int(sized[rel][0]),
+                "est_bytes": int(sized[rel][1]),
+                "hinted": False,
+            }
+            for rel in sorted(query.relations)
+        ]
     decisions = []
     hinted: list[str] = []
     for rel in sorted(query.relations):

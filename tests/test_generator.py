@@ -519,3 +519,50 @@ def test_hints_min_gain_floor_gates_cheap_overrides(db):
     dear = FakeEngine({variants[0]: 6.0, variants[1]: 3.0})
     chosen, _ = reorder_by_estimate(dear, q, limit=2, margin=0.6, min_gain_s=0.25)
     assert chosen == variants[1]
+
+
+def test_broadcast_min_probe_floor_gates_small_queries(db):
+    """Stakes floor: with min_probe_bytes above the probe (largest)
+    relation's size, no hint fires even when a filtered side fits the
+    broadcast budget — the saved shuffle could not clear the broadcast
+    build cost. Same query with the floor below the probe still hints."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import (
+        broadcast_by_stats,
+        estimate_filtered_bytes,
+    )
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Condition,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(
+        Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER))
+    )
+    q.add_condition(Condition(ColumnRef(o, "o_orderkey", DataType.NUMBER), "<", 500.0))
+
+    raw, _ = estimate_filtered_bytes(db, q, o)
+    probe_raw = db["lineitem"].stats.bytes
+    auto, threshold = 100_000, int(raw * 1.2)
+
+    sql, decisions = broadcast_by_stats(
+        db, q, threshold_bytes=threshold, margin=0.5, auto_bytes=auto,
+        min_probe_bytes=probe_raw + 1,
+    )
+    assert not any(d["hinted"] for d in decisions)
+    assert sql == q.to_sql()
+    assert len(decisions) == 2  # still records sizes for the report
+
+    sql2, decisions2 = broadcast_by_stats(
+        db, q, threshold_bytes=threshold, margin=0.5, auto_bytes=auto,
+        min_probe_bytes=probe_raw,
+    )
+    assert any(d["hinted"] for d in decisions2)
+    assert sql2.startswith("SELECT /*+ BROADCAST(")

@@ -47,6 +47,11 @@ def main() -> None:
     engine = DQOEngine(spark, sf_dir, snapshot_path=schema)
     engine.snapshot()
     engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "120"))
+    # DQO_BCAST_MIN_PROBE: stakes floor — only hint when the probe side
+    # (largest relation) is big enough that the saved shuffle can clear
+    # the broadcast build cost (the suite's one real regression hinted
+    # into a ~20 MB probe side)
+    min_probe = int(os.environ.get("DQO_BCAST_MIN_PROBE", str(48 * 1024 * 1024)))
 
     # scan seeds for queries where the hint actually fires — the
     # interesting population is exactly the raw-vs-filtered disagreement
@@ -59,7 +64,7 @@ def main() -> None:
         scanned += 1
         if len(q.relations) < 2 or not q.joins:
             continue
-        hinted_sql, decisions = broadcast_by_stats(engine.db, q)
+        hinted_sql, decisions = broadcast_by_stats(engine.db, q, min_probe_bytes=min_probe)
         if any(d["hinted"] for d in decisions):
             candidates.append((seed - 1, q, hinted_sql, decisions))
     print(f"{len(candidates)} hint-firing queries from {scanned} seeds", flush=True)
