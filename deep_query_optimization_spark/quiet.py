@@ -173,3 +173,44 @@ def _read_loadavg() -> float | None:
             return float(f.read().split()[0])
     except (OSError, ValueError):
         return None
+
+
+class HardDeadlineError(Exception):
+    """Raised inside the main thread when a hard_deadline expires."""
+
+
+@contextlib.contextmanager
+def hard_deadline(seconds: float):
+    """Process-level wall-clock backstop for budget-bounded loops.
+
+    Cooperative budget checks (between queries, between batches) cannot
+    bound a SINGLE wedged call: a query stuck in a non-cancellable
+    Spark phase blocks the main thread in a py4j socket read, past
+    every in-loop deadline check (observed: a generation run holding
+    its budget hostage 12+ minutes after expiry). SIGALRM's Python
+    handler runs in the main thread even there — the signal interrupts
+    the blocked syscall — so a handler that RAISES breaks the loop out
+    of the wedge. Callers catch :class:`HardDeadlineError`, persist
+    their checkpoint (completed work is all in memory), and exit.
+
+    Main-thread only (signal semantics); no-op on platforms without
+    SIGALRM. Nesting is not supported — the previous alarm is restored
+    on exit, but a shorter inner deadline wins the signal slot."""
+    import signal
+
+    if not hasattr(signal, "SIGALRM"):  # non-POSIX: backstop unavailable
+        yield
+        return
+
+    def _raise(signum, frame):
+        raise HardDeadlineError(f"hard deadline of {seconds:.0f}s expired")
+
+    prev_handler = signal.signal(signal.SIGALRM, _raise)
+    # setitimer keeps sub-second resolution (alarm() truncates to int)
+    prev_timer = signal.setitimer(signal.ITIMER_REAL, max(seconds, 0.001))
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, prev_handler)
+        del prev_timer

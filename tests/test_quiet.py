@@ -148,3 +148,26 @@ def test_pidless_sentinel_falls_back_to_mtime(sentinel):
         sentinel.unlink()
 
     assert wait_if_quiet_window(poll_s=0.05, log=drop) >= 0.05
+
+
+def test_hard_deadline_breaks_a_wedged_call():
+    """SIGALRM backstop: a call blocked past the deadline is broken by
+    HardDeadlineError in the main thread; completed state survives for
+    the caller's checkpoint. On time, the timer is disarmed cleanly."""
+    import time as _time
+
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+    done = []
+    with pytest.raises(HardDeadlineError):
+        with hard_deadline(0.2):
+            done.append(1)
+            _time.sleep(5)  # the wedge: sleeps well past the deadline
+            done.append(2)
+    assert done == [1]  # work before the wedge survives
+
+    # a loop that finishes in time exits normally and disarms the alarm
+    with hard_deadline(5.0):
+        done.append(3)
+    _time.sleep(0.3)  # an undisarmed 0.2s timer would fire here
+    assert done == [1, 3]

@@ -110,22 +110,41 @@ def main() -> None:
         load = hold.enter_context(hold_quiet_window())
         print(f"holding quiet window for the full run (loadavg at start {load})", flush=True)
 
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
     deadline = time.monotonic() + budget_s
     t0 = time.monotonic()
-    with hold:
-        while len(bal.dataset) < n and time.monotonic() < deadline:
-            target = min(n, len(bal.dataset) + every)
-            bal.generate(target, time_budget_s=deadline - time.monotonic())
-            ds = QueriesDataset()
-            for sql, rt in bal.dataset:
-                ds.add(sql, rt)
-            ds.save(str(csv_path))
-            occupied = {b: c for b, c in sorted(bal.histogram.items()) if c}
-            print(
-                f"[{time.monotonic() - t0:7.0f}s] {len(bal.dataset)} rows, "
-                f"histogram {occupied}",
-                flush=True,
-            )
+
+    def _checkpoint() -> None:
+        ds = QueriesDataset()
+        for sql, rt in bal.dataset:
+            ds.add(sql, rt)
+        ds.save(str(csv_path))
+
+    # SIGALRM backstop: the in-loop deadline checks cannot bound a
+    # single wedged query (stuck in a non-cancellable Spark phase the
+    # watchdog's cancelJobGroup does not reach); past budget + grace
+    # the alarm raises out of the py4j wait and we keep the checkpoint
+    grace = max(3 * timeout_s * (2 if engine.runner.double_run else 1), 60.0)
+    try:
+        with hold, hard_deadline(budget_s + grace):
+            while len(bal.dataset) < n and time.monotonic() < deadline:
+                target = min(n, len(bal.dataset) + every)
+                bal.generate(target, time_budget_s=deadline - time.monotonic())
+                _checkpoint()
+                occupied = {b: c for b, c in sorted(bal.histogram.items()) if c}
+                print(
+                    f"[{time.monotonic() - t0:7.0f}s] {len(bal.dataset)} rows, "
+                    f"histogram {occupied}",
+                    flush=True,
+                )
+    except HardDeadlineError:
+        _checkpoint()
+        print(
+            f"hard deadline: in-flight query wedged past budget+{grace:.0f}s grace; "
+            f"checkpoint saved, exiting",
+            flush=True,
+        )
     print(f"done: {len(bal.dataset)} rows in {time.monotonic() - t0:.0f}s -> {csv_path}")
 
 
