@@ -211,12 +211,21 @@ class DQOEngine:
         self._model_family = family
         return self.model
 
-    def load_best(self, best_dir: str = ".data/est_r7_best"):
+    def load_best(self, best_dir: str | None = None):
         """Serve the tournament winner tools/pick_best_model.py staged:
         reads ``choice.json`` for the winning family and loads the
         ``model_<family>.json`` it copied — so the live engine, the
         calibration report, and the hint report all score with one and
-        the same checkpoint file."""
+        the same checkpoint file.
+
+        The default is anchored under the repo root (two levels above
+        this file), not the caller's cwd — ``load_best()`` must work
+        from any working directory."""
+        if best_dir is None:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            best_dir = os.path.join(repo, ".data", "est_best")
+            if not os.path.isdir(best_dir):  # pre-round-8 staging dir
+                best_dir = os.path.join(repo, ".data", "est_r7_best")
         with open(os.path.join(best_dir, "choice.json")) as fh:
             choice = json.load(fh)
         fam = choice["family"]

@@ -140,6 +140,21 @@ class BalancedQueryGen:
     seed: int | None = None
     patience: int = 30
     queue_size: int = 4
+    # optional SQL -> Query parser (e.g. ``relational.parser.parse_sql``
+    # bound to a live session). When set, a spawn targeting a bucket for
+    # which the dataset already holds near-target rows starts from one
+    # of those rows instead of from scratch: a random start sits orders
+    # of magnitude below a slow target and burns ~10-20 timed climbing
+    # steps per hit, while a parsed near-target seed (whose runtime is
+    # already known — pre-memoized, zero re-timing cost) reaches it in
+    # 1-3 mutations. Injected, not imported: the generators stay pure
+    # control loops testable with a fake runner.
+    seed_parser: Callable[[str], "Query"] | None = None
+    seed_prob: float = 0.75
+    # checked between rows: True stops generation immediately (e.g. the
+    # runner latched ``wedged`` — its Spark connection is suspect and
+    # further timed rows would be garbage)
+    stop_when: Callable[[], bool] | None = None
 
     def __post_init__(self) -> None:
         self.rng = random.Random(self.seed)
@@ -153,10 +168,33 @@ class BalancedQueryGen:
         mn = min(self.histogram.values())
         return self.rng.choice([b for b, v in self.histogram.items() if v == mn])
 
+    def _seed_candidates(self, lo: float, hi: float) -> list[tuple[str, float]]:
+        """Dataset rows within 2 buckets of the target window but NOT
+        inside it — close enough that 1-3 guided mutations bridge the
+        gap, yet guaranteed to mutate (an in-window seed would "hit"
+        immediately with its own already-recorded SQL and be rejected
+        by the dedup as a wasted spawn)."""
+        return [
+            (sql, rt)
+            for sql, rt in self.dataset
+            if (lo / 4.0 <= rt < lo) or (hi < rt <= hi * 4.0)
+        ]
+
     def _spawn(self) -> GuidedQueryGen:
         bucket = self._rargmin()
         lo, hi = self.partitioner.bounds(bucket)
         gen = GuidedQueryGen(self.db, self.runner, lo, hi, seed=self.rng.randint(0, 2**31), max_steps=self.patience)
+        if self.seed_parser is not None and self.rng.random() < self.seed_prob:
+            cands = self._seed_candidates(lo, hi)
+            self.rng.shuffle(cands)
+            for sql, rt in cands[:5]:
+                try:
+                    gen.builder.query = self.seed_parser(sql)
+                except Exception:
+                    continue  # unparseable seed: try the next candidate
+                gen._memo[gen.builder.query.to_sql()] = rt
+                gen._memo[sql] = rt
+                return gen
         gen.randomize_initial()
         return gen
 
@@ -181,6 +219,8 @@ class BalancedQueryGen:
         seen: set[str] = {sql for sql, _ in self.dataset}
         while len(self.dataset) < n:
             if deadline is not None and _time.monotonic() > deadline:
+                break
+            if self.stop_when is not None and self.stop_when():
                 break
             while len(self._queue) < self.queue_size:
                 self._queue.append(self._spawn())

@@ -97,6 +97,16 @@ class SparkQueryRunner:
     timeout_s: float = DEFAULT_TIMEOUT_S
     log: QueryLog | None = None
     group_prefix: str = "dqo-lab"
+    # >0 enables the per-query SIGALRM backstop: a query the watchdog's
+    # cancelJobGroup cannot reach (wedged in a non-cancellable Spark
+    # phase) is broken out of its py4j wait at
+    # ``timeout_s * wedge_cap_factor + 30`` and censored at its elapsed
+    # wall, instead of holding the whole run hostage until the caller's
+    # whole-budget deadline. ``wedged`` is latched so callers can
+    # checkpoint and exit — the interrupted py4j connection is not
+    # guaranteed healthy for further queries. Main-thread only.
+    wedge_cap_factor: float = 0.0
+    wedged: bool = False
     # optional cost-model hook (e.g. ``engine.estimate``): every timed
     # run then logs (query, predicted, actual) — estimation serving
     # execution, per-query scoring driver-side; bulk scoring of a whole
@@ -116,7 +126,28 @@ class SparkQueryRunner:
         """Timed noop-sink run. A query canceled by the watchdog
         RETURNS its elapsed wall (a right-censored label at the cap)
         instead of raising — a workload-generation loop must survive
-        the slow queries it deliberately goes looking for."""
+        the slow queries it deliberately goes looking for.
+
+        With ``wedge_cap_factor`` set, a run the watchdog could not
+        cancel is additionally bounded by a SIGALRM hard cap: it too
+        returns censored-at-elapsed, but latches ``self.wedged`` so the
+        caller can stop cleanly (quiet.hard_deadline docstring)."""
+        if self.wedge_cap_factor > 0:
+            import threading as _threading
+
+            from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+            if _threading.current_thread() is _threading.main_thread():
+                t0 = time.perf_counter()
+                try:
+                    with hard_deadline(self.timeout_s * self.wedge_cap_factor + 30.0):
+                        return self._run_timed_inner(df)
+                except HardDeadlineError:
+                    self.wedged = True
+                    return time.perf_counter() - t0
+        return self._run_timed_inner(df)
+
+    def _run_timed_inner(self, df: DataFrame) -> float:
         sc = self.spark.sparkContext
         group = f"{self.group_prefix}-{id(df)}-{time.monotonic_ns()}"
         sc.setJobGroup(group, "dqo lab timed run", interruptOnCancel=True)
@@ -140,7 +171,13 @@ class SparkQueryRunner:
             raise
         finally:
             timer.cancel()
-            sc.setJobGroup("", "")
+            try:
+                sc.setJobGroup("", "")
+            except Exception:
+                # a SIGALRM raise out of the py4j wait (wedge cap) can
+                # leave the connection desynced; the group reset must
+                # not mask the HardDeadlineError being propagated
+                pass
         return time.perf_counter() - t0
 
     def time(self, sql: str) -> float:
@@ -156,7 +193,7 @@ class SparkQueryRunner:
         df = self.spark.sql(sql)
         pred = self._predict(sql)
         runtime = self._run_timed(df)
-        if self.double_run:
+        if self.double_run and not self.wedged:
             runtime = self._run_timed(df)
         if self.log is not None:
             self.log.append(sql, runtime, predicted=pred)

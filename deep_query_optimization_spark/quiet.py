@@ -34,9 +34,30 @@ def sentinel_path() -> str:
     return os.environ.get("DQO_QUIET_SENTINEL", "/root/repo/.quiet_window")
 
 
+def _proc_start_time(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot) of ``pid`` from
+    /proc/<pid>/stat field 22, or None when unreadable (non-Linux,
+    process gone, permission)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens: split after the
+        # LAST ')' — everything before it is pid + comm
+        rest = stat.rsplit(b")", 1)[1].split()
+        return int(rest[19])  # field 22, 0-indexed 19 after state
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _holder_alive(path: str) -> bool | None:
     """Is the pid recorded in the sentinel still running? None when the
-    file carries no readable pid (treat as unknown -> rely on mtime)."""
+    file carries no readable pid (treat as unknown -> rely on mtime).
+
+    PID-reuse guard: the sentinel records ``t=<unix start>``; if the
+    process currently wearing that pid was born AFTER the sentinel was
+    written (its /proc start time postdates t=), the original holder is
+    dead and its pid was recycled — report dead rather than queueing
+    waiters behind an unrelated process until the staleness fallback."""
     try:
         with open(path) as f:
             head = f.read(256)
@@ -49,7 +70,23 @@ def _holder_alive(path: str) -> bool | None:
         return False
     except OSError:
         return None  # e.g. EPERM: alive but not ours
-    return True
+    try:
+        wrote_at = float(head.split("t=", 1)[1].split()[0])
+    except (ValueError, IndexError):
+        return True  # no timestamp recorded: pid existence is all we have
+    ticks = _proc_start_time(pid)
+    if ticks is None:
+        return True
+    try:
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        born_at = time.time() - uptime + ticks / hz
+    except (OSError, ValueError):
+        return True
+    # 5 s slack: the holder writes t= AFTER it was born, and clock
+    # sources (boot-relative ticks vs wall) round differently
+    return born_at <= wrote_at + 5.0
 
 
 def _sentinel_age() -> float | None:
@@ -194,23 +231,45 @@ def hard_deadline(seconds: float):
     their checkpoint (completed work is all in memory), and exit.
 
     Main-thread only (signal semantics); no-op on platforms without
-    SIGALRM. Nesting is not supported — the previous alarm is restored
-    on exit, but a shorter inner deadline wins the signal slot."""
+    SIGALRM. Nesting IS supported: on exit the outer timer's REMAINING
+    time (minus what the inner body consumed) is re-armed, so a
+    per-query inner cap composes with a whole-run outer budget. The
+    inner deadline wins the signal slot while active — an outer expiry
+    that falls inside the inner window fires when the outer timer is
+    re-armed (its remaining time has gone negative, so it is re-armed
+    at the minimum interval and fires immediately).
+
+    Completion race: if SIGALRM is delivered after the body finished
+    but before the timer is cleared, the expiry is NOT raised for the
+    already-complete body — the handler only raises while the body is
+    active (armed flag cleared as the first statement of the finally)."""
     import signal
 
     if not hasattr(signal, "SIGALRM"):  # non-POSIX: backstop unavailable
         yield
         return
 
+    armed = [True]
+
     def _raise(signum, frame):
-        raise HardDeadlineError(f"hard deadline of {seconds:.0f}s expired")
+        if armed[0]:
+            raise HardDeadlineError(f"hard deadline of {seconds:.0f}s expired")
 
     prev_handler = signal.signal(signal.SIGALRM, _raise)
     # setitimer keeps sub-second resolution (alarm() truncates to int)
-    prev_timer = signal.setitimer(signal.ITIMER_REAL, max(seconds, 0.001))
+    prev_remaining = signal.setitimer(signal.ITIMER_REAL, max(seconds, 0.001))[0]
+    t0 = time.monotonic()
     try:
         yield
     finally:
+        armed[0] = False
         signal.setitimer(signal.ITIMER_REAL, 0)
         signal.signal(signal.SIGALRM, prev_handler)
-        del prev_timer
+        if prev_remaining > 0:
+            # re-arm the outer deadline with whatever time it has left;
+            # an already-expired outer fires (in the outer handler) at
+            # the minimum re-arm interval
+            signal.setitimer(
+                signal.ITIMER_REAL,
+                max(prev_remaining - (time.monotonic() - t0), 0.001),
+            )

@@ -566,3 +566,68 @@ def test_broadcast_min_probe_floor_gates_small_queries(db):
     )
     assert any(d["hinted"] for d in decisions2)
     assert sql2.startswith("SELECT /*+ BROADCAST(")
+
+
+def test_balanced_gen_seeds_from_near_target_rows(db):
+    """With a seed_parser, spawns targeting a starved bucket start from
+    a parsed near-target dataset row (pre-memoized, so re-timing it is
+    free) instead of from a random query."""
+    from deep_query_optimization_spark.relational.query import Query
+
+    parsed: list[str] = []
+
+    def fake_parser(sql: str) -> Query:
+        parsed.append(sql)
+        # a genuine Query the builder can mutate: regenerate from seed
+        return RandomQueryGen(db, seed=99).randomize()
+
+    runner = FakeRunner()
+    bal = BalancedQueryGen(
+        db,
+        runner,
+        partitioner=Log2Partitioner(-3, 2),
+        seed=11,
+        seed_parser=fake_parser,
+        seed_prob=1.0,
+    )
+    # restore a dataset with rows one bucket outside the [2,4)s window
+    # of bucket 1 — candidates for seeding when bucket 1 is targeted
+    bal.restore(
+        {
+            "histogram": {-3: 5, -2: 5, -1: 5, 0: 5, 1: 0, 2: 5},
+            "dataset": [("SELECT 1", 1.1), ("SELECT 2", 5.0), ("SELECT 3", 0.01)],
+        }
+    )
+    bal.generate(8, time_budget_s=5.0)
+    assert parsed, "seed_parser was never consulted"
+    # only near-target rows qualify: the 0.01s row is >2 buckets away
+    assert all(sql in ("SELECT 1", "SELECT 2") for sql in parsed)
+
+
+def test_seed_candidates_exclude_in_window(db):
+    runner = FakeRunner()
+    bal = BalancedQueryGen(db, runner, seed=3)
+    bal.dataset = [("a", 1.0), ("b", 2.5), ("c", 5.0), ("d", 30.0)]
+    # window [2, 4): 'b' is inside (excluded), 'a' and 'c' within 2
+    # buckets outside, 'd' too far
+    cands = bal._seed_candidates(2.0, 4.0)
+    assert [s for s, _ in cands] == ["a", "c"]
+
+
+def test_unparseable_seed_falls_back_to_random(db):
+    def bad_parser(sql: str):
+        raise ValueError("nope")
+
+    runner = FakeRunner()
+    bal = BalancedQueryGen(
+        db, runner, partitioner=Log2Partitioner(-3, 2), seed=11,
+        seed_parser=bad_parser, seed_prob=1.0,
+    )
+    bal.restore(
+        {
+            "histogram": {-3: 5, -2: 5, -1: 5, 0: 5, 1: 0, 2: 5},
+            "dataset": [("SELECT 1", 1.1)],
+        }
+    )
+    rows = bal.generate(8, time_budget_s=5.0)
+    assert len(rows) >= 6  # generation proceeded on random starts

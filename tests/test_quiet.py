@@ -171,3 +171,113 @@ def test_hard_deadline_breaks_a_wedged_call():
         done.append(3)
     _time.sleep(0.3)  # an undisarmed 0.2s timer would fire here
     assert done == [1, 3]
+
+
+# -- round-8 additions: nested hard_deadline + wedge-cap drain ----------
+
+
+def test_hard_deadline_nests_inner_fires_first():
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+    with hard_deadline(30.0):
+        with pytest.raises(HardDeadlineError):
+            with hard_deadline(0.2):
+                time.sleep(5.0)
+        # outer survived the inner expiry and its remaining time was
+        # re-armed: the body continues under the outer deadline
+        time.sleep(0.05)
+
+
+def test_hard_deadline_outer_restored_and_still_fires():
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+    t0 = time.monotonic()
+    with pytest.raises(HardDeadlineError):
+        with hard_deadline(0.8):
+            with hard_deadline(0.3):
+                time.sleep(0.1)  # inner completes without firing
+            time.sleep(5.0)  # outer must still fire at ~0.8s total
+    assert time.monotonic() - t0 < 3.0
+
+
+def test_hard_deadline_completion_race_not_raised():
+    """A SIGALRM landing after the body finished must not raise for a
+    run that completed on time (the armed-flag guard)."""
+    import signal
+
+    from deep_query_optimization_spark.quiet import hard_deadline
+
+    # deadline just past the body: the timer is near-zero when the
+    # finally runs — historically this raced and raised a phantom
+    # expiry; with the armed guard it never does
+    for _ in range(20):
+        with hard_deadline(0.02):
+            time.sleep(0.019)
+    assert signal.getitimer(signal.ITIMER_REAL)[0] == 0.0
+
+
+def test_wedged_runner_drains_within_cap(monkeypatch):
+    """A query the watchdog cannot cancel (simulated: _run_timed_inner
+    blocks far past timeout_s) is censored at the per-query SIGALRM cap
+    and latches ``wedged`` — the generation loop's stop_when then exits
+    instead of waiting for the whole-budget backstop."""
+    from deep_query_optimization_spark.lab.executor import SparkQueryRunner
+
+    runner = SparkQueryRunner.__new__(SparkQueryRunner)
+    runner.timeout_s = 0.1
+    runner.wedge_cap_factor = 0.5
+    runner.wedged = False
+
+    def _wedge(df):
+        time.sleep(120.0)  # ignores every cooperative cancel
+        return 120.0
+
+    monkeypatch.setattr(runner, "_run_timed_inner", _wedge)
+    # shrink the +30s safety pad for the test
+    monkeypatch.setattr(
+        "deep_query_optimization_spark.lab.executor.SparkQueryRunner._run_timed",
+        _patched_run_timed,
+    )
+    t0 = time.monotonic()
+    elapsed = runner._run_timed(object())
+    assert runner.wedged
+    assert time.monotonic() - t0 < 5.0
+    assert elapsed == pytest.approx(time.monotonic() - t0, abs=1.0)
+
+
+def _patched_run_timed(self, df):
+    """_run_timed with the production +30s pad shrunk to +0.2s so the
+    wedge test completes in under a second."""
+    import threading as _threading
+
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+    if self.wedge_cap_factor > 0 and _threading.current_thread() is _threading.main_thread():
+        t0 = time.perf_counter()
+        try:
+            with hard_deadline(self.timeout_s * self.wedge_cap_factor + 0.2):
+                return self._run_timed_inner(df)
+        except HardDeadlineError:
+            self.wedged = True
+            return time.perf_counter() - t0
+    return self._run_timed_inner(df)
+
+
+def test_stop_when_halts_balanced_generation():
+    from deep_query_optimization_spark.catalog import Database
+    from deep_query_optimization_spark.generator.guided import BalancedQueryGen
+
+    snap = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "deep_query_optimization_spark/snapshots/sf0.01_schema.json",
+    )
+    db = Database.load(snap)
+    calls = [0]
+
+    def runner(sql: str) -> float:
+        calls[0] += 1
+        return 0.05
+
+    bal = BalancedQueryGen(db, runner, seed=7, stop_when=lambda: calls[0] >= 3)
+    bal.generate(500, time_budget_s=30.0)
+    assert calls[0] <= 4  # stopped by the latch, not the target

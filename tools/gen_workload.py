@@ -79,11 +79,25 @@ def main() -> None:
     engine.runner.timeout_s = timeout_s
     engine.runner.double_run = os.environ.get("DQO_DOUBLE_RUN", "0") == "1"
 
+    # per-query SIGALRM cap: a query the watchdog cannot cancel is
+    # censored at 3x timeout (+30 s) and latches runner.wedged — the
+    # loop below then checkpoints and exits instead of holding the
+    # budget hostage (round-7 postmortem: one wedged sf10 query ran
+    # 12+ min past budget before the whole-run backstop fired)
+    engine.runner.wedge_cap_factor = 3.0
+
+    from deep_query_optimization_spark.relational.parser import parse_sql
+
     bal = BalancedQueryGen(
         engine.db,
         engine.runner.time,
         partitioner=Log2Partitioner(bucket_lo, bucket_hi),
         seed=gen_seed,
+        # start upper-bucket spawns from parsed near-target rows of the
+        # (restored) dataset — 1-3 mutations to target instead of a
+        # 10-20-step climb from a random query
+        seed_parser=lambda sql: parse_sql(spark, sql, engine.db),
+        stop_when=lambda: engine.runner.wedged,
     )
     if csv_path.exists():
         prev = QueriesDataset.load(str(csv_path))
@@ -126,9 +140,15 @@ def main() -> None:
     # watchdog's cancelJobGroup does not reach); past budget + grace
     # the alarm raises out of the py4j wait and we keep the checkpoint
     grace = max(3 * timeout_s * (2 if engine.runner.double_run else 1), 60.0)
+    # worst wall-clock one row can cost (per-query wedge cap included):
+    # don't START a batch the budget cannot absorb — the whole-run
+    # backstop below then only catches pathologies the per-query cap
+    # itself missed
+    runs = 2 if engine.runner.double_run else 1
+    worst_row_s = (timeout_s * engine.runner.wedge_cap_factor + 30.0) * runs
     try:
         with hold, hard_deadline(budget_s + grace):
-            while len(bal.dataset) < n and time.monotonic() < deadline:
+            while len(bal.dataset) < n and time.monotonic() + worst_row_s < deadline + grace:
                 target = min(n, len(bal.dataset) + every)
                 bal.generate(target, time_budget_s=deadline - time.monotonic())
                 _checkpoint()
@@ -138,6 +158,13 @@ def main() -> None:
                     f"histogram {occupied}",
                     flush=True,
                 )
+                if engine.runner.wedged:
+                    print(
+                        "runner wedged (per-query SIGALRM cap fired; Spark "
+                        "connection suspect): checkpoint saved, exiting",
+                        flush=True,
+                    )
+                    return
     except HardDeadlineError:
         _checkpoint()
         print(
