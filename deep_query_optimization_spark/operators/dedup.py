@@ -307,10 +307,23 @@ def embedding_near_dup(
     vec_col: str,
     threshold: float = 0.4,
     probe_filter: Column | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Cosine-threshold near-duplicate pairs. ``probe_filter`` bounds
     the left side (correctness verifier); unbounded all-pairs at scale
-    must go through LSH bucketing first (similarity.py)."""
+    must go through LSH bucketing first (similarity.py).
+
+    The plan is a CartesianProduct — quadratic in the corpus unless the
+    probe side is bounded. To keep a 100 TB caller from launching an
+    O(n^2) join by omission, an unbounded call raises unless it opts in
+    explicitly with ``allow_full_scan=True``."""
+    if probe_filter is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_near_dup without probe_filter plans a CartesianProduct "
+            "(quadratic in the corpus). Pass probe_filter to bound the probe "
+            "side, use the LSH path (similarity.topk_lsh) at scale, or opt in "
+            "explicitly with allow_full_scan=True."
+        )
     from deep_query_optimization_spark.functions import cosine_from_norms, vector_norm
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), vector_norm(F.col(vec_col)).alias("na"))
