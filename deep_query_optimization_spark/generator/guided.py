@@ -155,6 +155,12 @@ class BalancedQueryGen:
     # runner latched ``wedged`` — its Spark connection is suspect and
     # further timed rows would be garbage)
     stop_when: Callable[[], bool] | None = None
+    # a failed step (executor OOM on a pathological join, analysis
+    # error on a mutated corner) drops its generator — the query
+    # lineage is toxic — and the loop continues; this many CONSECUTIVE
+    # failures mean the backend itself is gone (dead driver heap) and
+    # generation stops rather than spinning on a corpse
+    max_consecutive_failures: int = 5
 
     def __post_init__(self) -> None:
         self.rng = random.Random(self.seed)
@@ -217,6 +223,7 @@ class BalancedQueryGen:
         # re-record those SQLs, and a duplicated row that lands on both
         # sides of a later train/test split is a silent leak
         seen: set[str] = {sql for sql, _ in self.dataset}
+        consecutive_failures = 0
         while len(self.dataset) < n:
             if deadline is not None and _time.monotonic() > deadline:
                 break
@@ -225,7 +232,19 @@ class BalancedQueryGen:
             while len(self._queue) < self.queue_size:
                 self._queue.append(self._spawn())
             gen = self._queue.pop(0)
-            query, runtime, hit = gen.step()
+            try:
+                query, runtime, hit = gen.step()
+            except Exception as e:
+                consecutive_failures += 1
+                print(
+                    f"generator step failed ({consecutive_failures} in a row), "
+                    f"dropping lineage: {str(e).splitlines()[0][:200]}",
+                    flush=True,
+                )
+                if consecutive_failures >= self.max_consecutive_failures:
+                    raise  # backend itself is gone — surface the real error
+                continue
+            consecutive_failures = 0
             sql = query.to_sql()
             if sql not in seen:
                 seen.add(sql)

@@ -631,3 +631,29 @@ def test_unparseable_seed_falls_back_to_random(db):
     )
     rows = bal.generate(8, time_budget_s=5.0)
     assert len(rows) >= 6  # generation proceeded on random starts
+
+
+def test_balanced_gen_survives_failing_steps(db):
+    """A step that raises (executor OOM on a pathological join) drops
+    its generator and the loop continues; only a consecutive-failure
+    streak (dead backend) re-raises."""
+    calls = [0]
+
+    def flaky(sql: str) -> float:
+        calls[0] += 1
+        if calls[0] % 3 == 0:
+            raise RuntimeError("UNABLE_TO_ACQUIRE_MEMORY")
+        return 0.05
+
+    bal = BalancedQueryGen(db, flaky, partitioner=Log2Partitioner(-3, 0), seed=5)
+    rows = bal.generate(10, time_budget_s=10.0)
+    assert len(rows) >= 8  # progressed past the sprinkled failures
+
+
+def test_balanced_gen_stops_on_dead_backend(db):
+    def dead(sql: str) -> float:
+        raise RuntimeError("connection refused")
+
+    bal = BalancedQueryGen(db, dead, partitioner=Log2Partitioner(-3, 0), seed=5)
+    with pytest.raises(RuntimeError, match="connection refused"):
+        bal.generate(10, time_budget_s=10.0)

@@ -46,8 +46,11 @@ from pathlib import Path
 # Random multi-join candidates can blow an 8g driver heap at sf1+ (an
 # OOMed JVM wedges the generator silently — the watchdog can cancel a
 # job but not resurrect a dead heap), so default this process higher;
-# an explicit SPARK_DRIVER_MEMORY still wins.
-os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+# an explicit SPARK_DRIVER_MEMORY still wins. 48g: upper-bucket
+# targeting (this file's whole purpose at sf1+) steers into 4-5-way
+# fact joins whose hash maps exhausted a 24g heap's execution pool
+# (round-8 crash: UNABLE_TO_ACQUIRE_MEMORY 20 min in).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
