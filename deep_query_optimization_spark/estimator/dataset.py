@@ -83,6 +83,38 @@ class QueriesDataset:
         test = QueriesDataset([r for i, r in enumerate(self.rows) if i in test_idx])
         return train, test
 
+    def stratified_split_min(
+        self,
+        test_fraction: float = 0.2,
+        min_test_per_bucket: int = 0,
+        max_test_frac: float = 0.5,
+        seed: int = 0,
+    ) -> tuple["QueriesDataset", "QueriesDataset"]:
+        """Per-bucket split with a floor on test rows per bucket.
+
+        A proportional split starves exactly the buckets a macro-F1
+        metric needs most: 15 % of a 60-row bucket is 9 test rows —
+        too few to measure per-bucket accuracy. Each bucket contributes
+        ``max(round(n*test_fraction), min_test_per_bucket)`` test rows,
+        capped at ``max_test_frac`` of the bucket so scarce buckets
+        still keep a training majority."""
+        rng = random.Random(seed)
+        by_bucket: dict[int, list[int]] = {}
+        for i, b in enumerate(self.buckets()):
+            by_bucket.setdefault(b, []).append(i)
+        test_idx: set[int] = set()
+        for idxs in by_bucket.values():
+            idxs = idxs[:]
+            rng.shuffle(idxs)
+            if len(idxs) <= 1:
+                continue
+            n_test = max(round(len(idxs) * test_fraction), min_test_per_bucket)
+            n_test = min(n_test, int(len(idxs) * max_test_frac))
+            test_idx.update(idxs[:n_test])
+        train = QueriesDataset([r for i, r in enumerate(self.rows) if i not in test_idx])
+        test = QueriesDataset([r for i, r in enumerate(self.rows) if i in test_idx])
+        return train, test
+
     def uniform_split(self, per_bucket: int, seed: int = 0) -> "QueriesDataset":
         """Bucket-balanced subsample (reference ``uniform_split:51``)."""
         rng = random.Random(seed)

@@ -833,3 +833,21 @@ def test_linear_baseline_learns_join_count():
     preds = m.predict(plans)
     targets = np.array([math.log2(t) for t in runtimes])
     assert np.corrcoef(preds, targets)[0, 1] > 0.95  # exact linear signal
+
+
+def test_stratified_split_min_floors_scarce_buckets():
+    from deep_query_optimization_spark.estimator import QueriesDataset
+
+    ds = QueriesDataset()
+    # 200 fast rows (bucket -1) + 40 slow rows (bucket 5)
+    for i in range(200):
+        ds.add(f"SELECT {i}", 0.6)
+    for i in range(40):
+        ds.add(f"SELECT slow_{i}", 40.0)
+    train, test = ds.stratified_split_min(0.15, min_test_per_bucket=25, seed=0)
+    test_buckets = test.buckets()
+    assert test_buckets.count(-1) == 30  # proportional: 15% of 200
+    assert test_buckets.count(5) == 20  # floored at 25 but capped at n/2
+    assert len(train.rows) + len(test.rows) == 240
+    # no overlap
+    assert not ({s for s, _, _ in train.rows} & {s for s, _, _ in test.rows})

@@ -83,8 +83,36 @@ def main() -> None:
     train = QueriesDataset.load(clean_csv)
     test = QueriesDataset.load(test_csv)
     calib = QueriesDataset.load(calib_csv)
+    leaked = {s for s, _, _ in train.rows} & (
+        {s for s, _, _ in test.rows} | {s for s, _, _ in calib.rows}
+    )
+    if leaked:
+        raise SystemExit(f"{len(leaked)} held-out queries appear in the fine-tune train CSV")
+
+    # DQO_AUG: equivalence augmentation of the fine-tune train rows —
+    # the reference's headline gerelt runs are aug-trained (BASELINE.md
+    # 'tpch_aug'); same semantics as train_estimator.py
+    aug_n = int(os.environ.get("DQO_AUG", "0"))
+    train_pairs = [(sql, rt) for sql, rt, _ in train.rows]
+    if aug_n > 1:
+        import random as _random
+
+        from deep_query_optimization_spark.generator.augment import permutations
+
+        rng = _random.Random(7)
+        extra = []
+        for sql, rt in train_pairs:
+            try:
+                q = engine.parse(sql)
+                for variant in permutations(q, limit=aug_n, seed=rng.randint(0, 2**31))[1:]:
+                    extra.append((variant, rt))
+            except Exception:
+                pass
+        train_pairs += extra
+        print(f"augmented: +{len(extra)} emissions")
+
     t0 = time.time()
-    tr = [encode(sql) for sql, _, _ in train.rows]
+    tr = [encode(sql) for sql, _ in train_pairs]
     te = [encode(sql) for sql, _, _ in test.rows]
     ca = [encode(sql) for sql, _, _ in calib.rows]
     if cache:
@@ -96,7 +124,7 @@ def main() -> None:
     before_cal = evaluate(model, te, test.rows, affine=fit_affine(model, ca, calib.rows))
 
     t0 = time.time()
-    model.fit(tr, [rt for _, rt, _ in train.rows], epochs=epochs, lr=lr, batch_size=batch)
+    model.fit(tr, [rt for _, rt in train_pairs], epochs=epochs, lr=lr, batch_size=batch)
     fit_s = time.time() - t0
 
     affine = fit_affine(model, ca, calib.rows)
@@ -104,6 +132,7 @@ def main() -> None:
         "family": family,
         "pretrained": model_json,
         "clean_rows": len(train.rows),
+        "aug": aug_n,
         "epochs": epochs,
         "lr": lr,
         "before": before,

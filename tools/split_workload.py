@@ -12,7 +12,12 @@ scalar affine fit on the small calibration set removes that shift from
 predictions before they are scored against the clean test labels.
 
 Usage:
-    python tools/split_workload.py in_dir out_dir [test_frac] [calib_frac]
+    python tools/split_workload.py in_dir out_dir [test_frac] [calib_frac] [min_test_per_bucket]
+
+``min_test_per_bucket`` > 0 switches the test carve to
+``stratified_split_min``: every bucket contributes at least that many
+test rows (capped at half the bucket), so per-bucket metrics on scarce
+upper buckets are measurable instead of resting on single-digit n.
 """
 
 from __future__ import annotations
@@ -33,8 +38,13 @@ def main() -> None:
     calib_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.04
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    min_test = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+
     ds = QueriesDataset.load(str(in_dir / "workload.csv"))
-    rest, test = ds.stratified_split(test_frac, seed=0)
+    if min_test > 0:
+        rest, test = ds.stratified_split_min(test_frac, min_test_per_bucket=min_test, seed=0)
+    else:
+        rest, test = ds.stratified_split(test_frac, seed=0)
     train, calib = rest.stratified_split(calib_frac / (1 - test_frac), seed=1)
 
     train.save(str(out_dir / "workload.csv"))  # trainer reads this name

@@ -197,11 +197,21 @@ def main() -> None:
         "embed": embed,
         "hidden": hidden,
         "aug": aug_n,
+        "init": os.environ.get("DQO_INIT"),
         "models": {},
     }
+    # DQO_INIT=<model_json>: warm-start the (single) selected family
+    # from an existing checkpoint — joint training then refines a
+    # converged single-scale model instead of rediscovering everything
+    init = os.environ.get("DQO_INIT")
     for fam in sorted(selected & set(families)):
         t0 = time.time()
-        model = families[fam]()
+        if init:
+            loader = {"gru": GRUCostModel, "treelstm": TreeLSTMCostModel, "gerelt4": Gerelt4CostModel}[fam]
+            model = loader.load(init)
+            print(f"{fam}: warm-start from {init}")
+        else:
+            model = families[fam]()
         model.fit(X, y, epochs=epochs, lr=lr, batch_size=batch)
         res: dict = {"fit_seconds": round(time.time() - t0, 1)}
         for sc in scales:

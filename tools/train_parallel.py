@@ -55,7 +55,7 @@ def main() -> None:
         # free-threading BLAS oversubscribes the box (see sweep_capacity)
         for knob in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
             env.setdefault(knob, "4")
-        for knob in ("EPOCHS", "BATCH", "LR", "AUG"):
+        for knob in ("EPOCHS", "BATCH", "LR", "AUG", "EMBED", "HIDDEN"):
             per_fam = os.environ.get(f"DQO_{knob}_{fam.upper()}")
             if per_fam is not None:
                 env[f"DQO_{knob}"] = per_fam
