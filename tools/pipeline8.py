@@ -246,6 +246,31 @@ def build_phases() -> list[Phase]:
             },
             deps=["warm_cache"],
         ),
+        # the capacity point the r7 sweep never finished (64x128 was
+        # killed for time twice) — 50 epochs fits the round budget
+        Phase(
+            "gru_64x128",
+            outputs=[f"{SWEEP}/gru_64x128/report.json"],
+            inputs=[f"{SPLIT}/workload.csv"],
+            cmd=[
+                "bash",
+                "-c",
+                f"mkdir -p {SWEEP}/gru_64x128 && "
+                f"cp -n {SPLIT}/workload.csv {SPLIT}/schema.json {SWEEP}/gru_64x128/ 2>/dev/null; "
+                f"{sys.executable} tools/train_estimator.py .data/sf1 0 {SWEEP}/gru_64x128",
+            ],
+            env={
+                **env,
+                "DQO_FAMILIES": "gru",
+                "DQO_AUG": "0",
+                "DQO_EPOCHS": "50",
+                "DQO_EMBED": "64",
+                "DQO_HIDDEN": "128",
+                "OMP_NUM_THREADS": "4",
+                "OPENBLAS_NUM_THREADS": "4",
+            },
+            deps=["warm_cache"],
+        ),
         # joint sf1+sf10: one checkpoint, sf10 train rows oversampled
         Phase(
             "joint",

