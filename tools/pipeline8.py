@@ -246,6 +246,31 @@ def build_phases() -> list[Phase]:
             },
             deps=["warm_cache"],
         ),
+        # bucket-rebalanced GRU: cap the dominant fast buckets, repeat
+        # scarce slow ones — aims the regression loss at the upper
+        # buckets macro-F1 measures
+        Phase(
+            "gru_rebal",
+            outputs=[f"{SWEEP}/gru_64x64rebal/report.json"],
+            inputs=[f"{SPLIT}/workload.csv"],
+            cmd=[
+                "bash",
+                "-c",
+                f"mkdir -p {SWEEP}/gru_64x64rebal && "
+                f"cp -n {SPLIT}/workload.csv {SPLIT}/schema.json {SWEEP}/gru_64x64rebal/ 2>/dev/null; "
+                f"{sys.executable} tools/train_estimator.py .data/sf1 0 {SWEEP}/gru_64x64rebal",
+            ],
+            env={
+                **env,
+                "DQO_FAMILIES": "gru",
+                "DQO_AUG": "2",
+                "DQO_REBALANCE": "200:400",
+                "DQO_EPOCHS": "40",
+                "OMP_NUM_THREADS": "4",
+                "OPENBLAS_NUM_THREADS": "4",
+            },
+            deps=["warm_cache"],
+        ),
         # the capacity point the r7 sweep never finished (64x128 was
         # killed for time twice) — 50 epochs fits the round budget
         Phase(

@@ -25,7 +25,7 @@ python tools/pipeline8.py --only split,seed_cache,warm_cache > .data/harvest/pre
 echo "[harvest] prep done at $(date +%H:%M:%S); spawning trainers"
 
 pids=()
-for ph in train8 ft_gru ft_gru_aug gerelt4_aug gru_64x128 joint; do
+for ph in train8 ft_gru ft_gru_aug gerelt4_aug gru_64x128 gru_rebal joint; do
   python tools/pipeline8.py --only "$ph" > ".data/harvest/$ph.log" 2>&1 &
   pids+=($!)
   echo "[harvest] spawned $ph (pid ${pids[-1]})"

@@ -183,6 +183,39 @@ def main() -> None:
     else:
         train, test = ds.stratified_split(0.2, seed=0)
 
+    # DQO_REBALANCE="<min>:<max>": bucket-rebalanced TRAIN multiset —
+    # cap each log2 bucket at <max> rows (random subsample) and repeat
+    # scarce buckets' rows up to <min>. The corpus is fast-bucket-heavy
+    # (generation cost is linear in runtime, so -3..-1 dominate ~5:1);
+    # a regression loss dominated by fast rows starves exactly the
+    # upper buckets macro-F1 measures. Duplicated rows stay inside
+    # train (leak-free) and diverge under augmentation (each repeat
+    # draws different equivalent emissions).
+    rebalance = os.environ.get("DQO_REBALANCE")
+    if rebalance:
+        import random as _random
+
+        from deep_query_optimization_spark.estimator.metrics import bucketize as _bk
+
+        min_n, max_n = (int(x) for x in rebalance.split(":"))
+        by_bucket: dict[int, list] = {}
+        for row in train.rows:
+            by_bucket.setdefault(_bk(row[1]), []).append(row)
+        rng = _random.Random(3)
+        rebal_rows = []
+        for b, rows in sorted(by_bucket.items()):
+            rng.shuffle(rows)
+            kept = rows[:max_n]
+            reps = -(-min_n // len(kept)) if len(kept) < min_n else 1
+            rebal_rows += (kept * reps)[: max(min_n, len(kept))]
+        from deep_query_optimization_spark.estimator import QueriesDataset as _QD
+
+        print(
+            f"rebalanced train: {len(train.rows)} -> {len(rebal_rows)} rows "
+            f"(min {min_n}/bucket, cap {max_n})"
+        )
+        train = _QD(rebal_rows)
+
     # which families run decides which encodings are worth computing —
     # a single-family run (tools/train_parallel.py fans one process out
     # per family) must not pay for the other encoders' Spark round-trips
