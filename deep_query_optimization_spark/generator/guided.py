@@ -93,6 +93,29 @@ class GuidedQueryGen:
             return 0
         return max(1, min(4, round(dist)))
 
+    def _moves(self, runtime: float) -> tuple[str, ...]:
+        """Direction from :meth:`_policy`, granularity from distance:
+        within ~1.5 buckets of the target, restrict to CONDITION
+        mutations — selectivity nudges move runtime in small steps,
+        while add/remove_relation jumps ~5-10x and overshoots a
+        2x-wide window from either side (measured: mid buckets fill
+        10x slower than their neighbors because every relation jump
+        leapfrogs them)."""
+        import math
+
+        moves = self._policy(runtime)
+        if not moves or runtime <= 0:
+            return moves
+        dist = (
+            math.log2(self.target_lo / runtime)
+            if runtime < self.target_lo
+            else math.log2(runtime / self.target_hi)
+        )
+        if dist <= 1.5:
+            fine = tuple(m for m in moves if "condition" in m)
+            return fine or moves
+        return moves
+
     def step(self) -> tuple[Query, float, bool]:
         """One measure-then-mutate step (reference ``guided.py:170-177``).
         Returns (executed_query, its_runtime, hit_target).
@@ -106,7 +129,7 @@ class GuidedQueryGen:
         self.steps += 1
         executed = self.builder.query.copy()
         runtime = self.run_query()
-        moves = self._policy(runtime)
+        moves = self._moves(runtime)
         if not moves:
             return executed, runtime, True
         for _ in range(self._step_size(runtime)):

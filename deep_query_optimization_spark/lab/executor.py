@@ -139,12 +139,21 @@ class SparkQueryRunner:
 
             if _threading.current_thread() is _threading.main_thread():
                 t0 = time.perf_counter()
+                hd = {"expired": False}
                 try:
-                    with hard_deadline(self.timeout_s * self.wedge_cap_factor + 30.0):
+                    with hard_deadline(self.timeout_s * self.wedge_cap_factor + 30.0) as hd:
                         return self._run_timed_inner(df)
                 except HardDeadlineError:
                     self.wedged = True
                     return time.perf_counter() - t0
+                except Exception:
+                    # py4j re-wraps an exception escaping its socket
+                    # wait (Py4JNetworkError / "error while calling
+                    # o*.save") — a masked expiry is still a wedge
+                    if hd["expired"]:
+                        self.wedged = True
+                        return time.perf_counter() - t0
+                    raise
         return self._run_timed_inner(df)
 
     def _run_timed_inner(self, df: DataFrame) -> float:

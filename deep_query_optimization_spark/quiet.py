@@ -242,17 +242,26 @@ def hard_deadline(seconds: float):
     Completion race: if SIGALRM is delivered after the body finished
     but before the timer is cleared, the expiry is NOT raised for the
     already-complete body — the handler only raises while the body is
-    active (armed flag cleared as the first statement of the finally)."""
+    active (armed flag cleared as the first statement of the finally).
+
+    Yields a state dict with ``expired``: an intermediate layer may
+    CATCH AND RE-WRAP the raised HardDeadlineError (py4j converts any
+    exception escaping its socket wait into Py4JNetworkError /
+    Py4JJavaError), so callers that guard such calls must consult
+    ``state["expired"]`` in their generic exception handler, not just
+    catch HardDeadlineError."""
     import signal
 
+    state = {"expired": False}
     if not hasattr(signal, "SIGALRM"):  # non-POSIX: backstop unavailable
-        yield
+        yield state
         return
 
     armed = [True]
 
     def _raise(signum, frame):
         if armed[0]:
+            state["expired"] = True
             raise HardDeadlineError(f"hard deadline of {seconds:.0f}s expired")
 
     prev_handler = signal.signal(signal.SIGALRM, _raise)
@@ -260,7 +269,7 @@ def hard_deadline(seconds: float):
     prev_remaining = signal.setitimer(signal.ITIMER_REAL, max(seconds, 0.001))[0]
     t0 = time.monotonic()
     try:
-        yield
+        yield state
     finally:
         armed[0] = False
         signal.setitimer(signal.ITIMER_REAL, 0)

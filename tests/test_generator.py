@@ -657,3 +657,18 @@ def test_balanced_gen_stops_on_dead_backend(db):
     bal = BalancedQueryGen(db, dead, partitioner=Log2Partitioner(-3, 0), seed=5)
     with pytest.raises(RuntimeError, match="connection refused"):
         bal.generate(10, time_budget_s=10.0)
+
+
+def test_guided_moves_fine_near_target(db):
+    runner = FakeRunner()
+    gen = GuidedQueryGen(db, runner, target_lo=8.0, target_hi=16.0, seed=1)
+    # far below target: full broadening arsenal (relations included)
+    assert "add_relation" in gen._moves(0.1)
+    # within 1.5 buckets below: condition-only nudges
+    assert gen._moves(5.0) == ("remove_condition",)
+    # within 1.5 buckets above: condition-only narrowing
+    assert gen._moves(30.0) == ("add_condition",)
+    # far above: full narrowing arsenal
+    assert "remove_relation" in gen._moves(200.0)
+    # inside the window: hit
+    assert gen._moves(10.0) == ()

@@ -281,3 +281,54 @@ def test_stop_when_halts_balanced_generation():
     bal = BalancedQueryGen(db, runner, seed=7, stop_when=lambda: calls[0] >= 3)
     bal.generate(500, time_budget_s=30.0)
     assert calls[0] <= 4  # stopped by the latch, not the target
+
+
+def test_wedge_detected_when_error_is_rewrapped(monkeypatch):
+    """py4j converts an exception escaping its socket wait into its own
+    error type — a masked expiry must still censor + latch wedged."""
+    from deep_query_optimization_spark.lab.executor import SparkQueryRunner
+
+    runner = SparkQueryRunner.__new__(SparkQueryRunner)
+    runner.timeout_s = 0.1
+    runner.wedge_cap_factor = 0.5
+    runner.wedged = False
+
+    def _wedge_rewrapping(df):
+        try:
+            time.sleep(120.0)
+        except Exception:
+            raise RuntimeError("An error occurred while calling o1.save")
+
+    monkeypatch.setattr(runner, "_run_timed_inner", _wedge_rewrapping)
+    monkeypatch.setattr(
+        "deep_query_optimization_spark.lab.executor.SparkQueryRunner._run_timed",
+        _patched_run_timed_rewrap,
+    )
+    t0 = time.monotonic()
+    elapsed = runner._run_timed(object())
+    assert runner.wedged
+    assert time.monotonic() - t0 < 5.0
+    assert elapsed > 0
+
+
+def _patched_run_timed_rewrap(self, df):
+    """Production _run_timed with the +30s pad shrunk for test speed."""
+    import threading as _threading
+
+    from deep_query_optimization_spark.quiet import HardDeadlineError, hard_deadline
+
+    if self.wedge_cap_factor > 0 and _threading.current_thread() is _threading.main_thread():
+        t0 = time.perf_counter()
+        hd = {"expired": False}
+        try:
+            with hard_deadline(self.timeout_s * self.wedge_cap_factor + 0.2) as hd:
+                return self._run_timed_inner(df)
+        except HardDeadlineError:
+            self.wedged = True
+            return time.perf_counter() - t0
+        except Exception:
+            if hd["expired"]:
+                self.wedged = True
+                return time.perf_counter() - t0
+            raise
+    return self._run_timed_inner(df)
