@@ -132,10 +132,26 @@ class GuidedQueryGen:
         moves = self._moves(runtime)
         if not moves:
             return executed, runtime, True
-        for _ in range(self._step_size(runtime)):
-            for name in self.rng.sample(moves, len(moves)):
-                if self.builder.mutate(name):
-                    break
+        # fine-landing: near the target, ask the builder for a condition
+        # whose estimated selectivity is ~the ratio that lands runtime
+        # mid-window (add for narrowing: keep ~lo*hi/rt^2... simply the
+        # desired row-fraction 1/f; remove for broadening: drop a
+        # condition keeping ~1/f of rows so the result grows ~f)
+        import math
+
+        self.builder.target_selectivity = None
+        if runtime > 0:
+            mid = math.sqrt(self.target_lo * self.target_hi)
+            f = mid / runtime if runtime < self.target_lo else runtime / mid
+            if f > 1 and math.log2(f) <= 1.5:
+                self.builder.target_selectivity = min(1.0, 1.0 / f)
+        try:
+            for _ in range(self._step_size(runtime)):
+                for name in self.rng.sample(moves, len(moves)):
+                    if self.builder.mutate(name):
+                        break
+        finally:
+            self.builder.target_selectivity = None
         return executed, runtime, False
 
     def generate(self) -> tuple[Query, float] | None:

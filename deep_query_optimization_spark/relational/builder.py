@@ -86,6 +86,13 @@ class QueryBuilder:
         # the biggest runtime rise). Estimates come from the histogram
         # stats — no query execution.
         self.selectivity_aware = False
+        # fine-landing mode (guided generation near its target): when
+        # set, selectivity-aware condition mutations pick the candidate
+        # whose estimated selectivity is CLOSEST to this value instead
+        # of the most extreme one — a 2x-wide runtime window needs a
+        # ~1/f nudge, not the biggest available jump (which re-creates
+        # the overshoot that relation mutations cause at coarse range)
+        self.target_selectivity: float | None = None
         self._undo: list[Query] = []
 
     def _table_weight(self, name: str) -> float:
@@ -168,7 +175,11 @@ class QueryBuilder:
             cands = [c for c in (self._one_condition() for _ in range(4)) if c is not None]
             if not cands:
                 return False
-            cond = min(cands, key=lambda c: condition_selectivity(self.db, c))
+            if self.target_selectivity is not None:
+                t = self.target_selectivity
+                cond = min(cands, key=lambda c: abs(condition_selectivity(self.db, c) - t))
+            else:
+                cond = min(cands, key=lambda c: condition_selectivity(self.db, c))
         else:
             cond = self._one_condition()
             if cond is None:
@@ -185,7 +196,11 @@ class QueryBuilder:
         if self.selectivity_aware:
             from deep_query_optimization_spark.generator.conditions import condition_selectivity
 
-            pick = min(conds, key=lambda c: condition_selectivity(self.db, c))
+            if self.target_selectivity is not None:
+                t = self.target_selectivity
+                pick = min(conds, key=lambda c: abs(condition_selectivity(self.db, c) - t))
+            else:
+                pick = min(conds, key=lambda c: condition_selectivity(self.db, c))
         else:
             pick = self.rng.choice(conds)
         self.query.remove_condition(pick)

@@ -672,3 +672,25 @@ def test_guided_moves_fine_near_target(db):
     assert "remove_relation" in gen._moves(200.0)
     # inside the window: hit
     assert gen._moves(10.0) == ()
+
+
+def test_builder_target_selectivity_picks_closest(db):
+    from deep_query_optimization_spark.generator.conditions import condition_selectivity
+    from deep_query_optimization_spark.relational.builder import QueryBuilder
+
+    b = QueryBuilder(db, rng=__import__("random").Random(2))
+    b.selectivity_aware = True
+    gen = RandomQueryGen(db, seed=4)
+    b.query = gen.randomize()
+    # ensure there are conditions to remove
+    while len(b.query.conditions) < 3:
+        if not b.add_condition():
+            break
+    sels = {id(c): condition_selectivity(db, c) for c in b.query.conditions}
+    if len(sels) >= 2 and len(set(round(s, 3) for s in sels.values())) >= 2:
+        b.target_selectivity = 0.9  # want the mildest condition removed
+        before = list(b.query.conditions)
+        assert b.remove_condition()
+        removed = [c for c in before if c not in b.query.conditions][0]
+        closest = min(before, key=lambda c: abs(condition_selectivity(db, c) - 0.9))
+        assert abs(condition_selectivity(db, removed) - condition_selectivity(db, closest)) < 1e-9
