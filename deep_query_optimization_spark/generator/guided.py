@@ -54,6 +54,9 @@ class GuidedQueryGen:
         # stats), so each step moves the runtime as far as possible
         self.builder.selectivity_aware = True
         self.steps = 0
+        # backtracking state: (runtime, log-distance) of the previous
+        # measured query, for undo-on-worsening near the target
+        self._prev: tuple[float, float] | None = None
 
     def randomize_initial(self) -> None:
         """Reference ``guided.py:115-117``."""
@@ -126,33 +129,60 @@ class GuidedQueryGen:
         row — returning the post-mutation query would mislabel nearly
         every row (the reference fires its histogram callback inside
         ``run_query`` with the executed query, ``guided.py:94-109``)."""
-        self.steps += 1
-        executed = self.builder.query.copy()
-        runtime = self.run_query()
-        moves = self._moves(runtime)
-        if not moves:
-            return executed, runtime, True
-        # fine-landing: near the target, ask the builder for a condition
-        # whose estimated selectivity is ~the ratio that lands runtime
-        # mid-window (add for narrowing: keep ~lo*hi/rt^2... simply the
-        # desired row-fraction 1/f; remove for broadening: drop a
-        # condition keeping ~1/f of rows so the result grows ~f)
         import math
 
+        self.steps += 1
+        executed = self.builder.query.copy()
+        measured = self.run_query()  # belongs to ``executed`` — returned as-is
+        if not self._policy(measured):
+            self._prev = None
+            return executed, measured, True
+
+        def _dist(rt: float) -> float:
+            if rt <= 0:
+                return 99.0
+            if rt < self.target_lo:
+                return math.log2(self.target_lo / rt)
+            if rt > self.target_hi:
+                return math.log2(rt / self.target_hi)
+            return 0.0
+
+        # undo-on-worsening (fine range only, where one mutation was
+        # applied per step so one undo reverts it): histogram
+        # selectivity estimates are coarse — a "x0.66" condition can
+        # measure x0.01 and crash a 34 s query to 0.3 s. The crashed
+        # query is still recorded by the caller (honest row, with ITS
+        # measured runtime), but the SEARCH resumes from the better
+        # predecessor (memoized — its re-measure next step is free)
+        # instead of climbing all the way back up.
+        search_rt, dist = measured, _dist(measured)
+        if (
+            self._prev is not None
+            and self._prev[1] <= 1.5
+            and dist > self._prev[1] + 0.75
+            and self.builder.undo()
+        ):
+            search_rt, dist = self._prev
+        self._prev = (search_rt, dist)
+        moves = self._moves(search_rt)
+        # fine-landing: near the target, ask the builder for a condition
+        # whose estimated selectivity is ~the ratio that lands runtime
+        # mid-window (narrowing: ADD a condition keeping ~1/f of rows;
+        # broadening: REMOVE one that kept ~1/f, growing the result ~f)
         self.builder.target_selectivity = None
-        if runtime > 0:
+        if search_rt > 0 and 0 < dist <= 1.5:
             mid = math.sqrt(self.target_lo * self.target_hi)
-            f = mid / runtime if runtime < self.target_lo else runtime / mid
-            if f > 1 and math.log2(f) <= 1.5:
+            f = mid / search_rt if search_rt < self.target_lo else search_rt / mid
+            if f > 1:
                 self.builder.target_selectivity = min(1.0, 1.0 / f)
         try:
-            for _ in range(self._step_size(runtime)):
+            for _ in range(self._step_size(search_rt)):
                 for name in self.rng.sample(moves, len(moves)):
                     if self.builder.mutate(name):
                         break
         finally:
             self.builder.target_selectivity = None
-        return executed, runtime, False
+        return executed, measured, False
 
     def generate(self) -> tuple[Query, float] | None:
         self.randomize_initial()

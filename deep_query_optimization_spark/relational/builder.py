@@ -172,7 +172,8 @@ class QueryBuilder:
         if self.selectivity_aware:
             from deep_query_optimization_spark.generator.conditions import condition_selectivity
 
-            cands = [c for c in (self._one_condition() for _ in range(4)) if c is not None]
+            k = 12 if self.target_selectivity is not None else 4
+            cands = [c for c in (self._one_condition() for _ in range(k)) if c is not None]
             if not cands:
                 return False
             if self.target_selectivity is not None:

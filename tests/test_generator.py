@@ -694,3 +694,29 @@ def test_builder_target_selectivity_picks_closest(db):
         removed = [c for c in before if c not in b.query.conditions][0]
         closest = min(before, key=lambda c: abs(condition_selectivity(db, c) - 0.9))
         assert abs(condition_selectivity(db, removed) - condition_selectivity(db, closest)) < 1e-9
+
+
+def test_guided_undo_on_worsening_resumes_from_predecessor(db):
+    """A fine-range mutation that crashes the runtime is recorded but
+    the SEARCH backtracks: the builder's query reverts to the
+    predecessor (undo) instead of climbing back from the crash site."""
+
+    class CrashyRunner:
+        """First query ~20s (near target), mutated query crashes to 0.1s."""
+
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self, sql):
+            self.n += 1
+            return 20.0 if self.n == 1 else 0.1
+
+    gen = GuidedQueryGen(db, CrashyRunner(), target_lo=32.0, target_hi=64.0, seed=9)
+    gen.randomize_initial()
+    q0 = gen.builder.query.copy().to_sql()
+    gen.step()  # measures 20s (fine range below target) -> one mutation
+    q1 = gen.builder.query.copy().to_sql()
+    assert q1 != q0
+    gen.step()  # measures 0.1s (crash) -> undo back to the 20s query
+    # the search state resumed from the predecessor, not the crash site
+    assert gen._prev is not None and gen._prev[0] == 20.0
