@@ -396,10 +396,24 @@ def write_models_report() -> None:
                 "clean_rows": r.get("clean_rows"),
                 "aug": r.get("aug"),
             }
+    sweeps = {}
+    for d in sorted((REPO / SWEEP).iterdir()) if (REPO / SWEEP).is_dir() else []:
+        rep_p = d / "report.json"
+        if not rep_p.exists():
+            continue
+        fam = d.name.split("_", 1)[0]
+        m = json.loads(rep_p.read_text()).get("models", {}).get(fam)
+        if m:
+            sweeps[d.name] = {
+                "test": m.get("test", {}),
+                "test_calibrated": m.get("test_calibrated", {}),
+                "fit_seconds": m.get("fit_seconds"),
+            }
     joint = {}
-    jp = REPO / JOINT / "report.json"
-    if jp.exists():
-        joint = json.loads(jp.read_text())
+    for tag, root in (("warm_from_sf1_best", JOINT), ("warm_from_sf10_ft", ".data/est_r8_joint_b")):
+        jp = REPO / root / "report.json"
+        if jp.exists():
+            joint[tag] = json.loads(jp.read_text())
     from collections import Counter
 
     from deep_query_optimization_spark.estimator import QueriesDataset
@@ -420,6 +434,7 @@ def write_models_report() -> None:
         "test_bucket_histogram": {str(k): v for k, v in test_hist.items()},
         "models": rep.get("models", {}),
         "finetune": ft,
+        "sweeps": sweeps,
         "joint_sf1_sf10": joint,
         "best": choice,
     }
