@@ -94,7 +94,20 @@ def reorder_by_estimate(
     ``estimate(default) - estimate(best) >= min_gain_s`` makes the
     override authority scale with the stakes: cheap queries keep
     Catalyst's order, expensive ones (where a wrong join order costs
-    minutes at 100 TB) remain eligible."""
+    minutes at 100 TB) remain eligible.
+
+    Measured regimes (round 8): on a sub-second suite (sf1,
+    reports/learned_hints_sf1.json) the feature is a wash-to-negative
+    even gated — predicted deltas sit inside estimator noise; the
+    gates above are what keep it from doing harm there. On slow
+    multi-join queries (sf10, 22-39 s defaults,
+    reports/learned_hints_sf10_slow.json) it is decisively positive:
+    suite 227 s -> 75 s (3.0x), 8/8 reordered, six speedups of 10-43x,
+    one 0.75x regression; the random sf10 suite
+    (reports/learned_hints_sf10.json) is also net positive (8.7 ->
+    8.0 s, one >10 % regression). Deploy with the gates on: min_gain_s
+    naturally disables overrides exactly in the regime where they
+    lose."""
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
     if margin_by_bucket is not None:

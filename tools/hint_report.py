@@ -76,8 +76,32 @@ def main() -> None:
     engine.model = model
     engine.runner.timeout_s = float(os.environ.get("DQO_TIMEOUT_S", "120"))
 
-    # multi-join candidates: scan seeds until n queries join >= 3 tables
+    # multi-join candidates. Default: random 3+-table queries. With
+    # DQO_HINT_FROM_CSV=<workload.csv>[:<min_runtime_s>], draw them
+    # from a LABELED corpus instead — random generation at any scale
+    # mostly yields sub-2s queries (selective conditions), which says
+    # nothing about join ordering where it matters; the corpus's slow
+    # multi-join rows are exactly the regime the hints exist for.
     queries = []
+    from_csv = os.environ.get("DQO_HINT_FROM_CSV")
+    if from_csv:
+        from deep_query_optimization_spark.estimator import QueriesDataset
+        from deep_query_optimization_spark.relational.parser import parse_sql
+
+        path, _, min_rt = from_csv.partition(":")
+        min_rt = float(min_rt or "4.0")
+        ds = QueriesDataset.load(path)
+        rows = sorted(ds.rows, key=lambda r: -r[1])
+        for i, (sql, rt, _) in enumerate(rows):
+            if rt < min_rt or len(queries) >= n:
+                break
+            try:
+                q = parse_sql(spark, sql, engine.db)
+            except Exception:
+                continue
+            if len(q.relations) >= 3:
+                queries.append((i, q))
+        print(f"{len(queries)} corpus queries (runtime >= {min_rt}s, >=3 relations)")
     seed = int(os.environ.get("DQO_HINT_SEED0", "1000"))
     while len(queries) < n and seed < int(os.environ.get("DQO_HINT_SEED0", "1000")) + max(400, 40 * n):
         gen = RandomQueryGen(engine.db, seed=seed, max_tables=4, max_conditions=6)
