@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from deep_query_optimization_spark.catalog import Database
 from deep_query_optimization_spark.generator import RandomQueryGen
 from deep_query_optimization_spark.generator.partitioner import Log2Partitioner
+from deep_query_optimization_spark.quiet import HardDeadlineError
 from deep_query_optimization_spark.relational.builder import QueryBuilder
 from deep_query_optimization_spark.relational.query import Query
 
@@ -267,7 +268,16 @@ class BalancedQueryGen:
                     gen.builder.query = self.seed_parser(sql)
                 except Exception:
                     continue  # unparseable seed: try the next candidate
-                gen._memo[gen.builder.query.to_sql()] = rt
+                if gen.builder.query.to_sql() != sql:
+                    # a seed whose round-trip emission differs from the
+                    # stored row would re-record the same semantic query
+                    # under new text with the memoized runtime — exactly
+                    # the duplicate-row train/test leak generate()'s
+                    # dedup set exists to prevent. parser.py property-
+                    # tests to_sql∘parse as a fixed point, so this guard
+                    # should never fire; if it does, skip the seed rather
+                    # than depend on the invariant silently.
+                    continue
                 gen._memo[sql] = rt
                 return gen
         gen.randomize_initial()
@@ -303,6 +313,13 @@ class BalancedQueryGen:
             gen = self._queue.pop(0)
             try:
                 query, runtime, hit = gen.step()
+            except HardDeadlineError:
+                # the whole-run budget backstop (gen_workload wraps the
+                # generate loop in quiet.hard_deadline) raising out of an
+                # in-flight step is NOT a lineage failure: swallowing it
+                # here would consume the one-shot outer timer and leave
+                # the rest of the run with no hard backstop at all
+                raise
             except Exception as e:
                 consecutive_failures += 1
                 print(

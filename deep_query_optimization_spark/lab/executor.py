@@ -144,6 +144,14 @@ class SparkQueryRunner:
                     with hard_deadline(self.timeout_s * self.wedge_cap_factor + 30.0) as hd:
                         return self._run_timed_inner(df)
                 except HardDeadlineError:
+                    # only the INNER window's expiry is a per-query
+                    # wedge; an OUTER whole-run deadline (nested
+                    # hard_deadline re-armed with negative remaining at
+                    # our exit) must propagate to the caller's own
+                    # HardDeadlineError checkpoint path, not be
+                    # mislabeled "Spark connection suspect"
+                    if not hd["expired"]:
+                        raise
                     self.wedged = True
                     return time.perf_counter() - t0
                 except Exception:

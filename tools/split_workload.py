@@ -45,7 +45,11 @@ def main() -> None:
         rest, test = ds.stratified_split_min(test_frac, min_test_per_bucket=min_test, seed=0)
     else:
         rest, test = ds.stratified_split(test_frac, seed=0)
-    train, calib = rest.stratified_split(calib_frac / (1 - test_frac), seed=1)
+    # denominator from the ACTUAL remainder, not (1 - test_frac): with
+    # min_test_per_bucket > 0 the test carve takes more than test_frac
+    # of the rows (bucket floors), and dividing by the nominal fraction
+    # would inflate calib and shrink train correspondingly
+    train, calib = rest.stratified_split(calib_frac * len(ds.rows) / max(len(rest.rows), 1), seed=1)
 
     train.save(str(out_dir / "workload.csv"))  # trainer reads this name
     test.save(str(out_dir / "test.csv"))

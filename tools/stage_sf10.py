@@ -53,7 +53,16 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     shutil.copy(path, out / "model_gru.json")
     shutil.copy(REPO / ".data/est_sf10_split/schema.json", out / "schema.json")
-    shutil.copy(REPO / ".data/est_sf10_split/test.csv", out / "workload.csv")
+    # calibrate on a set DISJOINT from the selection set: the winner is
+    # chosen by its accuracy on test.csv, so fitting the per-bucket
+    # reliabilities/margins the hint gates consume on that same set
+    # would bias the gates optimistically. calib.csv was held out of
+    # both training and selection; fall back to test.csv (with the bias
+    # recorded in choice.json) only when no calib carve exists.
+    calib_src = REPO / ".data/est_sf10_split/calib.csv"
+    if not calib_src.exists():
+        calib_src = REPO / ".data/est_sf10_split/test.csv"
+    shutil.copy(calib_src, out / "workload.csv")
     (out / "choice.json").write_text(
         json.dumps(
             {
@@ -61,6 +70,8 @@ def main() -> None:
                 "label": label,
                 "accuracy": round(acc, 4),
                 "source": path,
+                "calibration_source": str(calib_src.relative_to(REPO)),
+                "calibration_disjoint_from_selection": calib_src.name == "calib.csv",
                 "candidates": [{"label": lb, "accuracy": round(a, 4)} for a, _, lb in cands],
             },
             indent=1,
