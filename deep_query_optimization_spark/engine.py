@@ -108,8 +108,81 @@ class DQOEngine:
 
     # -- execution -------------------------------------------------------
 
-    def run(self, sql: str) -> float:
+    def run(self, sql: str, hints: bool = False) -> float:
+        """Timed execution; ``hints=True`` routes through
+        ``optimize_sql`` first — the learned join-order hint as a
+        default-on-but-regime-gated engine path (measured round 8:
+        3.0x on the sf10 slow suite, a wash below ~2 s)."""
+        if hints:
+            sql = self.optimize_sql(sql)
         return self.runner.time(sql)
+
+    def optimize_sql(
+        self,
+        sql: str,
+        min_default_s: float = 2.0,
+        margin: float = 0.6,
+        min_gain_s: float = 0.25,
+        calibration: str | None = None,
+        limit: int = 6,
+    ) -> str:
+        """Learned join-order hint, regime-gated (SURVEY §7b).
+
+        Re-emits ``sql`` with the estimator's cheapest join order when —
+        and only when — the learned signal clears every measured gate:
+
+        - the DEFAULT plan's estimate exceeds ``min_default_s`` (~2 s,
+          the measured hold-fire boundary: on sub-second queries the
+          predicted deltas sit inside estimator noise and the feature
+          is a wash-to-negative; on 22-39 s sf10 defaults it won 3.0x —
+          reports/learned_hints_sf1.json vs _sf10_slow.json);
+        - the best candidate clears the per-bucket reliability margin
+          from ``calibration`` (falls back to the flat ``margin`` when
+          no report is given), abstaining outright on buckets the
+          calibration has never measured;
+        - the predicted gain exceeds ``min_gain_s`` absolute.
+
+        Queries the hint machinery cannot lift into the Query IR
+        (unsupported constructs) or with fewer than two joined
+        relations are returned unchanged — the hint path must never
+        make a query unrunnable. ``calibration`` defaults to
+        ``$DQO_HINT_CALIB``, else the repo's sf1 calibration report
+        when present."""
+        from deep_query_optimization_spark.plans.hints import (
+            margins_from_calibration,
+            reorder_by_estimate,
+        )
+
+        if self.model is None:
+            self.load_best()
+        try:
+            q = self.parse(sql)
+        except Exception:
+            return sql  # not liftable into the IR: hints are advisory
+        if len(q.relations) < 2 or not q.joins:
+            return sql
+        est_default = self.estimate(q.to_sql())
+        if est_default < min_default_s:
+            return sql  # hold-fire regime: Catalyst's order stands
+        margin_by_bucket = None
+        if calibration is None:
+            calibration = os.environ.get("DQO_HINT_CALIB") or os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "reports",
+                "estimator_calibration_sf1.json",
+            )
+        if calibration and os.path.exists(calibration):
+            with open(calibration) as fh:
+                margin_by_bucket = margins_from_calibration(json.load(fh), base=margin)
+        chosen_sql, _ = reorder_by_estimate(
+            self,
+            q,
+            limit=limit,
+            margin=margin,
+            margin_by_bucket=margin_by_bucket,
+            min_gain_s=min_gain_s,
+        )
+        return chosen_sql
 
     def analyze(self, sql: str) -> tuple[float, str, str]:
         return self.runner.analyze(sql)

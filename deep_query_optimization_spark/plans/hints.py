@@ -63,6 +63,7 @@ def reorder_by_estimate(
     margin: float = 1.0,
     margin_by_bucket: dict[int, float] | None = None,
     min_gain_s: float = 0.0,
+    abstain_uncalibrated: bool = True,
 ) -> tuple[str, list[tuple[float, str]]]:
     """Pick the cheapest-estimated join order for ``query``.
 
@@ -83,7 +84,13 @@ def reorder_by_estimate(
     ``margin_by_bucket`` (from ``margins_from_calibration``) replaces
     the flat margin with one keyed on the default plan's predicted
     log2 bucket — the calibration report shows reliability differs by
-    bucket, so override authority should too.
+    bucket, so override authority should too. With
+    ``abstain_uncalibrated`` (default on), a prediction landing in a
+    bucket ABSENT from the table — for either the default or the best
+    candidate — keeps the canonical order outright instead of falling
+    back to the flat margin: a gate calibrated on buckets the model
+    has never seen is a flat margin in disguise, and uncalibrated
+    buckets are exactly where the model's blind spots live.
 
     ``min_gain_s`` is an absolute expected-gain floor on top of the
     ratio margin: the measured hint suite shows every regression
@@ -111,8 +118,24 @@ def reorder_by_estimate(
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
     if margin_by_bucket is not None:
-        bucket = int(min(8, max(-3, round(math.log2(max(scored[0][0], 1e-3))))))
-        margin = margin_by_bucket.get(bucket, margin)
+
+        def _bucket(est_s: float) -> int:
+            return int(min(8, max(-3, round(math.log2(max(est_s, 1e-3))))))
+
+        b_default, b_best = _bucket(scored[0][0]), _bucket(scored[best][0])
+        if abstain_uncalibrated and (b_default not in margin_by_bucket or b_best not in margin_by_bucket):
+            # ABSTAIN: one of the candidates is predicted into a bucket
+            # the calibration source has never measured. A margin
+            # calibrated on buckets the model has seen says nothing
+            # there — falling back to the flat margin would grant
+            # override authority exactly where the model's known
+            # failure mode lives (round 8: the sf1 model predicts
+            # ~0.6 s for 30 s queries in its starved buckets, and the
+            # sf10 slow suite's one 0.75x regression came from a
+            # default whose predicted bucket had no calibration row).
+            # Keep Catalyst's canonical order.
+            return scored[0][1], scored
+        margin = margin_by_bucket.get(b_default, margin)
     if scored[best][0] > margin * scored[0][0] or scored[0][0] - scored[best][0] < min_gain_s:
         best = 0
     return scored[best][1], scored

@@ -99,3 +99,67 @@ def test_engine_load_best_serves_picked_checkpoint(spark, sf_dir, tmp_path):
     engine.load_best(str(best))
     assert engine._model_family == "gru"
     assert engine.estimate("SELECT COUNT(*) AS c FROM orders") > 0
+
+
+def test_engine_optimize_sql_regime_gated(spark, sf_dir, tmp_path):
+    """engine.run(sql, hints=True) / optimize_sql: the learned
+    join-order hint fires only past every measured gate — default
+    estimate >= ~2 s, margin cleared, calibrated buckets — and returns
+    the input unchanged for non-join queries and hold-fire regimes."""
+    import json
+
+    from deep_query_optimization_spark.engine import DQOEngine
+
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(tmp_path / "schema.json"))
+    engine.snapshot()
+    engine.model = object()  # estimate is stubbed below; skip load_best
+
+    sql = (
+        "SELECT MIN(lineitem.l_quantity) AS m FROM lineitem, orders, customer "
+        "WHERE lineitem.l_orderkey = orders.o_orderkey "
+        "AND orders.o_custkey = customer.c_custkey"
+    )
+    canonical_from = engine.parse(sql).to_sql().split(" FROM ")[1].split(" WHERE ")[0]
+
+    def fake_estimate(s: str) -> float:
+        # canonical FROM order looks expensive, every reorder cheap
+        return 32.0 if s.split(" FROM ")[1].split(" WHERE ")[0] == canonical_from else 4.0
+
+    engine.estimate = fake_estimate
+
+    # flat margin (calibration explicitly disabled): override taken
+    chosen = engine.optimize_sql(sql, calibration="")
+    assert chosen.split(" FROM ")[1].split(" WHERE ")[0] != canonical_from
+
+    # hold-fire regime: default under min_default_s -> input unchanged
+    engine.estimate = lambda s: 1.5
+    assert engine.optimize_sql(sql, calibration="") == sql
+
+    # abstain: default predicted bucket 5 absent from the calibration
+    # table -> canonical order kept despite the 8x predicted win
+    engine.estimate = fake_estimate
+    calib = tmp_path / "calib.json"
+    calib.write_text(
+        json.dumps({"per_bucket_predicted": {"2": {"n": 50, "bucket_accuracy": 0.9}}})
+    )
+    chosen = engine.optimize_sql(sql, calibration=str(calib))
+    assert chosen.split(" FROM ")[1].split(" WHERE ")[0] == canonical_from
+
+    # calibrated buckets for default (5) and best (2) -> override again
+    calib.write_text(
+        json.dumps(
+            {
+                "per_bucket_predicted": {
+                    "2": {"n": 50, "bucket_accuracy": 0.9},
+                    "5": {"n": 50, "bucket_accuracy": 0.9},
+                }
+            }
+        )
+    )
+    chosen = engine.optimize_sql(sql, calibration=str(calib))
+    assert chosen.split(" FROM ")[1].split(" WHERE ")[0] != canonical_from
+
+    # non-join query: returned untouched, and run(hints=True) executes
+    flat = "SELECT COUNT(*) AS c FROM orders"
+    assert engine.optimize_sql(flat, calibration="") == flat
+    assert engine.run(flat, hints=True) > 0

@@ -396,6 +396,72 @@ def test_hints_margin_by_bucket_gates_override(db):
     assert mp[-3] < m[-3]  # same bucket, different table -> different margin
 
 
+def test_hints_abstain_on_uncalibrated_bucket(db):
+    """With margin_by_bucket set, a candidate predicted into a bucket
+    the calibration table has never measured keeps the canonical order
+    (abstain) instead of falling back to the flat margin — for BOTH the
+    default's and the best candidate's predicted bucket."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import order_variants, reorder_by_estimate
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "MIN"))
+    q.add_join(
+        Join(ColumnRef(li, "l_orderkey", DataType.NUMBER), ColumnRef(o, "o_orderkey", DataType.NUMBER))
+    )
+    variants = order_variants(q, limit=2)
+
+    class FakeEngine:
+        def __init__(self, costs):
+            self.costs = costs
+
+        def estimate(self, sql):
+            return self.costs[sql]
+
+    # default 32s (bucket 5), candidate 2s (bucket 1): a huge predicted
+    # win, and the flat margin would take it — but bucket 5 has no
+    # calibration row, so the gate abstains and keeps the default
+    costs = {variants[0]: 32.0, variants[1]: 2.0}
+    chosen, _ = reorder_by_estimate(
+        FakeEngine(costs), q, limit=2, margin=0.9, margin_by_bucket={1: 0.6, 2: 0.6}
+    )
+    assert chosen == variants[0]
+
+    # the BEST candidate's bucket uncalibrated also abstains, even when
+    # the default's bucket is in the table
+    costs = {variants[0]: 2.0, variants[1]: 0.01}
+    chosen, _ = reorder_by_estimate(
+        FakeEngine(costs), q, limit=2, margin=0.9, margin_by_bucket={1: 0.6, 2: 0.6}
+    )
+    assert chosen == variants[0]
+
+    # both buckets calibrated -> the override proceeds as before
+    costs = {variants[0]: 32.0, variants[1]: 2.0}
+    chosen, _ = reorder_by_estimate(
+        FakeEngine(costs), q, limit=2, margin=0.9, margin_by_bucket={1: 0.6, 5: 0.6}
+    )
+    assert chosen == variants[1]
+
+    # abstain_uncalibrated=False restores the flat-margin fallback
+    chosen, _ = reorder_by_estimate(
+        FakeEngine(costs),
+        q,
+        limit=2,
+        margin=0.9,
+        margin_by_bucket={1: 0.6, 2: 0.6},
+        abstain_uncalibrated=False,
+    )
+    assert chosen == variants[1]
+
+
 def test_broadcast_by_stats_hints_filtered_relation(db):
     """broadcast_by_stats fires exactly when the POST-FILTER estimate
     clears the budget on a relation whose RAW size does not — and never

@@ -26,14 +26,18 @@ REPO = Path(__file__).resolve().parent.parent
 
 def candidate_acc() -> list[tuple[float, str, str]]:
     cands: list[tuple[float, str, str]] = []
-    ft = REPO / ".data/ft_sf10/finetune_gru.json"
-    if ft.exists():
-        r = json.loads(ft.read_text())
-        acc = max(
-            r.get("after", {}).get("accuracy", 0.0),
-            r.get("after_calibrated", {}).get("accuracy", 0.0),
-        )
-        cands.append((acc, str(REPO / ".data/ft_sf10/model_gru_finetuned.json"), "sf10-finetune"))
+    for root, label in (
+        (".data/ft_sf10_r9", "sf10-finetune-r9"),  # trained on the full extended corpus
+        (".data/ft_sf10", "sf10-finetune-r7"),
+    ):
+        ft = REPO / root / "finetune_gru.json"
+        if ft.exists():
+            r = json.loads(ft.read_text())
+            acc = max(
+                r.get("after", {}).get("accuracy", 0.0),
+                r.get("after_calibrated", {}).get("accuracy", 0.0),
+            )
+            cands.append((acc, str(REPO / root / "model_gru_finetuned.json"), label))
     joint = REPO / ".data/est_r8_joint/report.json"
     if joint.exists():
         r = json.loads(joint.read_text())
@@ -47,21 +51,31 @@ def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".data/est_sf10_best"
     cands = candidate_acc()
     if not cands:
-        raise SystemExit("no sf10-capable model found (run pipeline8 joint phase first)")
-    cands.sort(reverse=True)
-    acc, path, label = cands[0]
+        raise SystemExit("no sf10-capable model found (run pipeline9 sf10_ft phase first)")
+    # candidates report accuracy on the test split they were trained
+    # against; the r9 re-split changed the sf10 test set, so r7/r8-era
+    # numbers are not comparable to r9 numbers. When an r9 candidate
+    # exists, restrict the tournament to r9 candidates and keep the old
+    # ones only as recorded also-rans.
+    r9 = [c for c in cands if c[2].endswith("-r9")]
+    pool = r9 if r9 else cands
+    pool.sort(reverse=True)
+    acc, path, label = pool[0]
     out.mkdir(parents=True, exist_ok=True)
     shutil.copy(path, out / "model_gru.json")
-    shutil.copy(REPO / ".data/est_sf10_split/schema.json", out / "schema.json")
+    split_dir = REPO / ".data/est_sf10_r9"
+    if not (split_dir / "calib.csv").exists():  # pre-round-9 layout
+        split_dir = REPO / ".data/est_sf10_split"
+    shutil.copy(split_dir / "schema.json", out / "schema.json")
     # calibrate on a set DISJOINT from the selection set: the winner is
     # chosen by its accuracy on test.csv, so fitting the per-bucket
     # reliabilities/margins the hint gates consume on that same set
     # would bias the gates optimistically. calib.csv was held out of
     # both training and selection; fall back to test.csv (with the bias
     # recorded in choice.json) only when no calib carve exists.
-    calib_src = REPO / ".data/est_sf10_split/calib.csv"
+    calib_src = split_dir / "calib.csv"
     if not calib_src.exists():
-        calib_src = REPO / ".data/est_sf10_split/test.csv"
+        calib_src = split_dir / "test.csv"
     shutil.copy(calib_src, out / "workload.csv")
     (out / "choice.json").write_text(
         json.dumps(
