@@ -149,6 +149,21 @@ def main() -> None:
         # compare flat vs per-bucket override behavior on one run.
         best_i = min(range(len(scored)), key=lambda i: scored[i][0])
         flat_would_reorder = best_i != 0 and scored[best_i][0] <= margin * est_default
+        # abstain bookkeeping: did the per-bucket gate keep the default
+        # because a candidate's predicted bucket has no calibration row
+        # (reorder_by_estimate's abstain path), as opposed to the
+        # margin/min-gain arithmetic rejecting the override?
+        abstained = False
+        if margin_by_bucket is not None and best_i != 0:
+            import math as _math
+
+            def _b(est_s: float) -> int:
+                return int(min(8, max(-3, round(_math.log2(max(est_s, 1e-3))))))
+
+            abstained = (
+                _b(est_default) not in margin_by_bucket
+                or _b(scored[best_i][0]) not in margin_by_bucket
+            )
         # measurement discipline: one warm pass each, then three
         # interleaved timed passes (D H D H D H), keep the per-plan
         # MEDIAN — back-to-back single timings of sub-second plans swing
@@ -174,6 +189,7 @@ def main() -> None:
                 "est_default_s": round(est_default, 3),
                 "est_hinted_s": round(est_chosen, 3),
                 "reordered": chosen_sql != default_sql,
+                "abstained_uncalibrated": abstained,
                 "flat_would_reorder": flat_would_reorder,
                 "speedup": round(t_default / max(t_chosen, 1e-6), 3),
                 "default_sql": default_sql,
@@ -201,6 +217,7 @@ def main() -> None:
         "calibration_source": calib_path,
         "n_queries": len(rows),
         "n_reordered": len(reordered),
+        "n_abstained_uncalibrated": sum(1 for r in rows if r["abstained_uncalibrated"]),
         # flat-vs-per-bucket sensitivity, measured on the same scored
         # candidates: how often would the flat gate have disagreed?
         "n_flat_would_reorder": sum(1 for r in rows if r["flat_would_reorder"]),
