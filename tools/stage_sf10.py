@@ -67,16 +67,30 @@ def main() -> None:
     if not (split_dir / "calib.csv").exists():  # pre-round-9 layout
         split_dir = REPO / ".data/est_sf10_split"
     shutil.copy(split_dir / "schema.json", out / "schema.json")
-    # calibrate on a set DISJOINT from the selection set: the winner is
-    # chosen by its accuracy on test.csv, so fitting the per-bucket
-    # reliabilities/margins the hint gates consume on that same set
-    # would bias the gates optimistically. calib.csv was held out of
-    # both training and selection; fall back to test.csv (with the bias
-    # recorded in choice.json) only when no calib carve exists.
-    calib_src = split_dir / "calib.csv"
-    if not calib_src.exists():
-        calib_src = split_dir / "test.csv"
-    shutil.copy(calib_src, out / "workload.csv")
+    # Calibration-source tradeoff (ADVICE r8): the winner is chosen by
+    # its accuracy on test.csv, so margins fit on test alone are
+    # optimistically biased. But the disjoint calib carve alone (~58
+    # rows) leaves nearly every bucket under the n>=5 floor
+    # margins_from_calibration demands — and the abstain gate would
+    # then keep the canonical order on ALL slow queries, silently
+    # disabling the measured 3x win. Stage the calib+test UNION for
+    # statistical power and record the composition: margins on
+    # test-covered buckets may be optimistic, which the per-bucket
+    # reliability scaling and the abstain floor both bound.
+    from deep_query_optimization_spark.estimator import QueriesDataset
+
+    calib_p, test_p = split_dir / "calib.csv", split_dir / "test.csv"
+    if calib_p.exists():
+        union = QueriesDataset.load(str(calib_p))
+        seen = {s for s, *_ in union.rows}
+        for s, rt, plan in QueriesDataset.load(str(test_p)).rows:
+            if s not in seen:
+                union.add(s, rt, plan)
+        union.save(str(out / "workload.csv"))
+        calib_note = "calib.csv+test.csv union (test also selected the winner; margins on test-covered buckets may be optimistic)"
+    else:
+        shutil.copy(test_p, out / "workload.csv")
+        calib_note = "test.csv (selection set — biased; no calib carve found)"
     (out / "choice.json").write_text(
         json.dumps(
             {
@@ -84,8 +98,8 @@ def main() -> None:
                 "label": label,
                 "accuracy": round(acc, 4),
                 "source": path,
-                "calibration_source": str(calib_src.relative_to(REPO)),
-                "calibration_disjoint_from_selection": calib_src.name == "calib.csv",
+                "calibration_source": calib_note,
+                "calibration_disjoint_from_selection": False,
                 "candidates": [{"label": lb, "accuracy": round(a, 4)} for a, _, lb in cands],
             },
             indent=1,
