@@ -19,7 +19,6 @@ parity with the reference's driver scripts (``dqo/lab/drivers/*``,
 from __future__ import annotations
 
 import json
-import math
 import os
 
 import numpy as np
@@ -161,28 +160,53 @@ class DQOEngine:
             return sql  # not liftable into the IR: hints are advisory
         if len(q.relations) < 2 or not q.joins:
             return sql
-        est_default = self.estimate(q.to_sql())
-        if est_default < min_default_s:
-            return sql  # hold-fire regime: Catalyst's order stands
-        margin_by_bucket = None
-        if calibration is None:
-            calibration = os.environ.get("DQO_HINT_CALIB") or os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "reports",
-                "estimator_calibration_sf1.json",
+        # From here every failure returns the caller's ORIGINAL text:
+        # candidate emission/estimation can hit constructs the emitter
+        # mishandles (round-9 advice: a GROUP BY candidate raising
+        # AnalysisException out of run()), and an advisory hint must
+        # never make a runnable query unrunnable.
+        try:
+            est_default = self.estimate(q.to_sql())
+            if est_default < min_default_s:
+                return sql  # hold-fire regime: Catalyst's order stands
+            margin_by_bucket = None
+            if calibration is None:
+                calibration = os.environ.get("DQO_HINT_CALIB") or self._default_calibration()
+            if calibration and os.path.exists(calibration):
+                with open(calibration) as fh:
+                    margin_by_bucket = margins_from_calibration(json.load(fh), base=margin)
+            chosen_sql, scored = reorder_by_estimate(
+                self,
+                q,
+                limit=limit,
+                margin=margin,
+                margin_by_bucket=margin_by_bucket,
+                min_gain_s=min_gain_s,
             )
-        if calibration and os.path.exists(calibration):
-            with open(calibration) as fh:
-                margin_by_bucket = margins_from_calibration(json.load(fh), base=margin)
-        chosen_sql, _ = reorder_by_estimate(
-            self,
-            q,
-            limit=limit,
-            margin=margin,
-            margin_by_bucket=margin_by_bucket,
-            min_gain_s=min_gain_s,
-        )
+        except Exception:
+            return sql
+        if chosen_sql == scored[0][1]:
+            # no override chosen: run the CALLER's text, not the
+            # canonical re-emission (byte-identical pass-through)
+            return sql
         return chosen_sql
+
+    def _default_calibration(self) -> str:
+        """Calibration report matching the LOADED checkpoint: prefer a
+        ``calibration.json`` staged beside the model file (written by
+        tools/stage_sf10.py), so a session serving the sf10 model gets
+        sf10-derived margins instead of the sf1 default distribution
+        (round-9 advice). Falls back to the repo's sf1 report — correct
+        for the default ``load_best()`` path, whose staging predates
+        per-dir calibration."""
+        staged = os.path.join(getattr(self, "_model_dir", ""), "calibration.json")
+        if getattr(self, "_model_dir", None) and os.path.exists(staged):
+            return staged
+        return os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "reports",
+            "estimator_calibration_sf1.json",
+        )
 
     def analyze(self, sql: str) -> tuple[float, str, str]:
         return self.runner.analyze(sql)
@@ -282,6 +306,9 @@ class DQOEngine:
             raise ValueError(f"unsupported family {family!r} (have {sorted(loaders)})")
         self.model = loaders[family].load(model_json)
         self._model_family = family
+        # remember the staging dir so optimize_sql can pick the
+        # calibration report fitted to THIS checkpoint's distribution
+        self._model_dir = os.path.dirname(os.path.abspath(model_json))
         return self.model
 
     def load_best(self, best_dir: str | None = None):
@@ -319,4 +346,6 @@ class DQOEngine:
         return float(2.0 ** np.clip(pred_log2, -10, 20))
 
     def estimate_bucket(self, sql: str) -> int:
-        return int(np.clip(round(math.log2(max(self.estimate(sql), 1e-3))), -3, 8))
+        from deep_query_optimization_spark.plans.hints import log2_bucket
+
+        return log2_bucket(self.estimate(sql))

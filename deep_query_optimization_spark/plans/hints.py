@@ -33,6 +33,15 @@ from deep_query_optimization_spark.stats import (
 )
 
 
+def log2_bucket(est_s: float) -> int:
+    """Clamped log2 runtime bucket (2^-3 .. 2^8 s) — THE bucket formula
+    the hint gate keys margins on. Exported so every consumer
+    (engine.estimate_bucket, tools/hint_report.py's abstain
+    bookkeeping) shares one definition: a clamp or rounding change here
+    must not silently desynchronize the report from the gate."""
+    return int(min(8, max(-3, round(math.log2(max(est_s, 1e-3))))))
+
+
 def order_variants(query: Query, limit: int = 6, seed: int = 0) -> list[str]:
     """Up to ``limit`` distinct emissions of ``query`` differing only
     in FROM-clause (= initial join) order; the canonical emission is
@@ -118,11 +127,7 @@ def reorder_by_estimate(
     scored = [(engine.estimate(sql), sql) for sql in order_variants(query, limit, seed)]
     best = min(range(len(scored)), key=lambda i: scored[i][0])
     if margin_by_bucket is not None:
-
-        def _bucket(est_s: float) -> int:
-            return int(min(8, max(-3, round(math.log2(max(est_s, 1e-3))))))
-
-        b_default, b_best = _bucket(scored[0][0]), _bucket(scored[best][0])
+        b_default, b_best = log2_bucket(scored[0][0]), log2_bucket(scored[best][0])
         if abstain_uncalibrated and (b_default not in margin_by_bucket or b_best not in margin_by_bucket):
             # ABSTAIN: one of the candidates is predicted into a bucket
             # the calibration source has never measured. A margin

@@ -786,3 +786,58 @@ def test_guided_undo_on_worsening_resumes_from_predecessor(db):
     gen.step()  # measures 0.1s (crash) -> undo back to the 20s query
     # the search state resumed from the predecessor, not the crash site
     assert gen._prev is not None and gen._prev[0] == 20.0
+
+
+def test_emit_group_by_parity_with_to_sql(db):
+    """Every non-canonical emission of a mixed plain+aggregate
+    projection query must carry the SAME GROUP BY clause Query.to_sql
+    adds — round-9 advice (high): _emit omitting it made every
+    order_variants candidate of such a query an AnalysisException, so
+    the hint path could turn a runnable GROUP BY join unrunnable."""
+    from deep_query_optimization_spark.catalog import DataType
+    from deep_query_optimization_spark.plans.hints import order_variants
+    from deep_query_optimization_spark.relational import (
+        ColumnRef,
+        Join,
+        Projection,
+        Query,
+        TableRef,
+    )
+
+    li, o = TableRef("lineitem"), TableRef("orders")
+    q = Query()
+    q.add_projection(Projection(ColumnRef(o, "o_orderstatus", DataType.STRING)))
+    q.add_projection(Projection(ColumnRef(li, "l_quantity", DataType.FLOAT), "SUM"))
+    q.add_join(
+        Join(
+            ColumnRef(li, "l_orderkey", DataType.NUMBER),
+            ColumnRef(o, "o_orderkey", DataType.NUMBER),
+        )
+    )
+    canonical = q.to_sql()
+    assert " GROUP BY " in canonical
+    group_by = canonical.split(" GROUP BY ")[1]
+    for sql in order_variants(q, limit=6) + permutations(q, limit=8, seed=0):
+        assert sql.split(" GROUP BY ")[1] == group_by, sql
+
+
+def test_log2_bucket_single_definition():
+    """plans.hints.log2_bucket is THE bucket formula the gate keys on;
+    engine.estimate_bucket and the report tools import it rather than
+    re-deriving it (round-9 advice: three inline copies could drift)."""
+    import inspect
+
+    from deep_query_optimization_spark.plans.hints import log2_bucket
+
+    assert log2_bucket(0.0) == -3  # clamp at the fast floor
+    assert log2_bucket(0.125) == -3
+    assert log2_bucket(1.0) == 0
+    assert log2_bucket(45.0) == 5  # round(log2(45)) = round(5.49) = 5
+    assert log2_bucket(300.0) == 8
+    assert log2_bucket(1e9) == 8  # clamp at the slow ceiling
+    # the other consumers import it instead of re-implementing
+    import deep_query_optimization_spark.engine as eng
+    import tools.hint_report as hr
+
+    assert "log2_bucket" in inspect.getsource(eng.DQOEngine.estimate_bucket)
+    assert "log2_bucket" in inspect.getsource(hr.main)

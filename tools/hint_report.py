@@ -155,14 +155,11 @@ def main() -> None:
         # margin/min-gain arithmetic rejecting the override?
         abstained = False
         if margin_by_bucket is not None and best_i != 0:
-            import math as _math
-
-            def _b(est_s: float) -> int:
-                return int(min(8, max(-3, round(_math.log2(max(est_s, 1e-3))))))
+            from deep_query_optimization_spark.plans.hints import log2_bucket
 
             abstained = (
-                _b(est_default) not in margin_by_bucket
-                or _b(scored[best_i][0]) not in margin_by_bucket
+                log2_bucket(est_default) not in margin_by_bucket
+                or log2_bucket(scored[best_i][0]) not in margin_by_bucket
             )
         # measurement discipline: one warm pass each, then three
         # interleaved timed passes (D H D H D H), keep the per-plan

@@ -1,13 +1,19 @@
 """Stage the best sf10-capable cost model for the sf10 hint report.
 
 Round-7's cross-scale finding: cost models are scale-local — the sf1
-model is useless on sf10 (0.175). Two sf10-capable candidates exist
-after pipeline8: the sf10 fine-tune (.data/ft_sf10, round 7) and the
-joint sf1+sf10 checkpoint (.data/est_r8_joint). This compares their
-held-out sf10 test accuracy from their own reports, stages the winner
-as .data/est_sf10_best/{model_gru.json,schema.json,workload.csv}
-(the layout calibration_report.py and hint_report.py consume), and
-runs the sf10 calibration report the hint gates need.
+model is useless on sf10 (0.175). This compares the sf10-capable
+candidates' held-out sf10 test accuracy from their own reports, stages
+the winner as .data/est_sf10_best/{model_gru.json,schema.json,
+workload.csv,calibration.json} (the layout calibration_report.py,
+hint_report.py and engine.optimize_sql consume), and refreshes
+reports/estimator_calibration_sf10.json.
+
+Staging is ATOMIC: everything is produced in a sibling ``<out>.tmp``
+directory and swapped in with os.replace only once every artifact —
+model, schema, workload, choice.json, calibration — exists. Round 9's
+run crashed mid-copy (a missing sys.path insert) and left the serving
+dir with an r9 model beside r7-era choice.json; a crash now leaves the
+previous staging untouched.
 
 Usage:
     python tools/stage_sf10.py [out_dir]
@@ -16,18 +22,21 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def candidate_acc() -> list[tuple[float, str, str]]:
     cands: list[tuple[float, str, str]] = []
     for root, label in (
-        (".data/ft_sf10_r9", "sf10-finetune-r9"),  # trained on the full extended corpus
+        (".data/ft_sf10_r10", "sf10-finetune-r10"),  # r9 ft continued on the grown corpus
+        (".data/ft_sf10_r9", "sf10-finetune-r9"),
         (".data/ft_sf10", "sf10-finetune-r7"),
     ):
         ft = REPO / root / "finetune_gru.json"
@@ -47,26 +56,92 @@ def candidate_acc() -> list[tuple[float, str, str]]:
     return [c for c in cands if Path(c[1]).exists()]
 
 
+def run_calibration(est_dir: Path, out_json: Path, sf_dir: str, cache: Path | None = None) -> dict:
+    env = dict(os.environ)
+    if cache is not None and cache.exists():
+        env["DQO_ENC_CACHE"] = str(cache)
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools/calibration_report.py"),
+            str(est_dir),
+            "gru",
+            str(out_json),
+            sf_dir,
+        ],
+        cwd=REPO,
+        check=True,
+        env=env,
+    )
+    return json.loads(out_json.read_text())
+
+
+def discount_by_calib_share(union: dict, calib_only: dict | None) -> dict:
+    """Discount per-bucket accuracies by the share of rows that come
+    from the DISJOINT calib carve (round-9 advice, medium): test.csv
+    rows also selected the staged winner, so accuracy measured on them
+    is optimistically biased — and margins_from_calibration would
+    loosen override margins exactly where the model overfits the
+    selection set. Scale each bucket's accuracy by
+    ``0.5 + 0.5 * calib_share``: a bucket measured purely on calib
+    rows keeps its face value, one measured purely on selection rows
+    counts at half. The raw value and the share are kept alongside so
+    the tradeoff stays auditable."""
+    out = dict(union)
+    for key in ("per_bucket", "per_bucket_predicted"):
+        table = dict(union.get(key, {}))
+        ref = (calib_only or {}).get(key, {})
+        for b, s in table.items():
+            n = max(int(s.get("n", 0)), 1)
+            n_calib = int(ref.get(b, {}).get("n", 0))
+            share = min(1.0, n_calib / n)
+            s = dict(s)
+            s["bucket_accuracy_undiscounted"] = s["bucket_accuracy"]
+            s["calib_row_share"] = round(share, 3)
+            s["bucket_accuracy"] = round(s["bucket_accuracy"] * (0.5 + 0.5 * share), 3)
+            table[b] = s
+        out[key] = table
+    out["discount"] = (
+        "bucket_accuracy scaled by (0.5 + 0.5 * calib_row_share): rows from "
+        "test.csv also selected this checkpoint, so their accuracy is "
+        "optimistically biased; calib.csv rows are disjoint from selection"
+    )
+    return out
+
+
 def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".data/est_sf10_best"
     cands = candidate_acc()
     if not cands:
         raise SystemExit("no sf10-capable model found (run pipeline9 sf10_ft phase first)")
     # candidates report accuracy on the test split they were trained
-    # against; the r9 re-split changed the sf10 test set, so r7/r8-era
-    # numbers are not comparable to r9 numbers. When an r9 candidate
-    # exists, restrict the tournament to r9 candidates and keep the old
-    # ones only as recorded also-rans.
-    r9 = [c for c in cands if c[2].endswith("-r9")]
-    pool = r9 if r9 else cands
+    # against; each round's re-split changes the sf10 test set, so
+    # cross-era numbers are not comparable. Restrict the tournament to
+    # the NEWEST era that has a candidate and keep older ones only as
+    # recorded also-rans.
+    pool = cands
+    for era in ("-r10", "-r9"):
+        sub = [c for c in cands if c[2].endswith(era)]
+        if sub:
+            pool = sub
+            break
     pool.sort(reverse=True)
     acc, path, label = pool[0]
-    out.mkdir(parents=True, exist_ok=True)
-    shutil.copy(path, out / "model_gru.json")
-    split_dir = REPO / ".data/est_sf10_r9"
-    if not (split_dir / "calib.csv").exists():  # pre-round-9 layout
-        split_dir = REPO / ".data/est_sf10_split"
-    shutil.copy(split_dir / "schema.json", out / "schema.json")
+
+    tmp = out.parent / (out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    shutil.copy(path, tmp / "model_gru.json")
+    split_dir = next(
+        (
+            REPO / d
+            for d in (".data/est_sf10_r10", ".data/est_sf10_r9", ".data/est_sf10_split")
+            if (REPO / d / "calib.csv").exists() or (REPO / d / "test.csv").exists()
+        ),
+        REPO / ".data/est_sf10_split",
+    )
+    shutil.copy(split_dir / "schema.json", tmp / "schema.json")
     # Calibration-source tradeoff (ADVICE r8): the winner is chosen by
     # its accuracy on test.csv, so margins fit on test alone are
     # optimistically biased. But the disjoint calib carve alone (~58
@@ -74,24 +149,35 @@ def main() -> None:
     # margins_from_calibration demands — and the abstain gate would
     # then keep the canonical order on ALL slow queries, silently
     # disabling the measured 3x win. Stage the calib+test UNION for
-    # statistical power and record the composition: margins on
-    # test-covered buckets may be optimistic, which the per-bucket
-    # reliability scaling and the abstain floor both bound.
+    # statistical power, DISCOUNT each bucket's accuracy by its
+    # calib-row share (discount_by_calib_share), and record the
+    # composition.
     from deep_query_optimization_spark.estimator import QueriesDataset
 
     calib_p, test_p = split_dir / "calib.csv", split_dir / "test.csv"
+    calib_only_report: dict | None = None
     if calib_p.exists():
         union = QueriesDataset.load(str(calib_p))
         seen = {s for s, *_ in union.rows}
         for s, rt, plan in QueriesDataset.load(str(test_p)).rows:
             if s not in seen:
                 union.add(s, rt, plan)
-        union.save(str(out / "workload.csv"))
-        calib_note = "calib.csv+test.csv union (test also selected the winner; margins on test-covered buckets may be optimistic)"
+        calib_note = (
+            "calib.csv+test.csv union (test also selected the winner; "
+            "bucket accuracies discounted by calib-row share)"
+        )
+        # calib-only pass first: same model, same rows -> same predicted
+        # buckets, so its per-bucket n IS the calib-row count per bucket
+        shutil.copy(calib_p, tmp / "workload.csv")
+        calib_only_report = run_calibration(
+            tmp, tmp / "calibration_calib_only.json", ".data/sf10",
+            cache=split_dir / "enc_cache.pkl",
+        )
+        union.save(str(tmp / "workload.csv"))
     else:
-        shutil.copy(test_p, out / "workload.csv")
+        shutil.copy(test_p, tmp / "workload.csv")
         calib_note = "test.csv (selection set — biased; no calib carve found)"
-    (out / "choice.json").write_text(
+    (tmp / "choice.json").write_text(
         json.dumps(
             {
                 "family": "gru",
@@ -105,19 +191,25 @@ def main() -> None:
             indent=1,
         )
     )
-    print(f"staged {label} (sf10 test acc {acc:.3f}) -> {out}")
-    subprocess.run(
-        [
-            sys.executable,
-            "tools/calibration_report.py",
-            str(out),
-            "gru",
-            "reports/estimator_calibration_sf10.json",
-            ".data/sf10",
-        ],
-        cwd=REPO,
-        check=True,
+    union_report = run_calibration(
+        tmp, tmp / "calibration_union.json", ".data/sf10", cache=split_dir / "enc_cache.pkl"
     )
+    final = discount_by_calib_share(union_report, calib_only_report)
+    (tmp / "calibration.json").write_text(json.dumps(final, indent=1))
+
+    # swap: the serving dir is either the complete old staging or the
+    # complete new one, never a mix
+    old = out.parent / (out.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if out.exists():
+        out.rename(old)
+    tmp.rename(out)
+    if old.exists():
+        shutil.rmtree(old)
+    (REPO / "reports").mkdir(exist_ok=True)
+    shutil.copy(out / "calibration.json", REPO / "reports/estimator_calibration_sf10.json")
+    print(f"staged {label} (sf10 test acc {acc:.3f}) -> {out}")
 
 
 if __name__ == "__main__":
