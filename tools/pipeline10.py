@@ -95,6 +95,10 @@ def seed_caches() -> None:
     ):
         dst = REPO / split / "enc_cache.pkl"
         s = REPO / src
+        # the two tracks run at different times: skip a split dir that
+        # has not been cut yet instead of dying on the copy
+        if not dst.parent.is_dir():
+            continue
         if not dst.exists() and s.exists():
             shutil.copy(s, dst)
             print(f"seeded {dst} from {src} ({dst.stat().st_size >> 20} MiB)")
