@@ -54,6 +54,9 @@ class DQOEngine:
         self.runner = SparkQueryRunner(spark, clear_cache=False, log=log)
         self._encoder: PlanEncoder | None = None
         self.model: MLPCostModel | None = None
+        # latched True after a failed checkpoint probe: default-on
+        # hints degrade to pass-through without re-hitting the fs
+        self._hints_unavailable = False
 
     # -- schema + stats (reference model(use_cache), postgres.py:321) --
 
@@ -107,11 +110,19 @@ class DQOEngine:
 
     # -- execution -------------------------------------------------------
 
-    def run(self, sql: str, hints: bool = False) -> float:
-        """Timed execution; ``hints=True`` routes through
-        ``optimize_sql`` first — the learned join-order hint as a
+    def run(self, sql: str, hints: bool = True) -> float:
+        """Timed execution; ``hints=True`` (the default since round 10,
+        per the round-9 verdict ask) routes through ``optimize_sql``
+        first — the learned join-order hint as a
         default-on-but-regime-gated engine path (measured round 8:
-        3.0x on the sf10 slow suite, a wash below ~2 s)."""
+        3.0x on the sf10 slow suite, a wash below ~2 s).
+
+        Default-on is safe because every gate fails closed: with no
+        trained checkpoint on the box the path latches off after one
+        probe and ``run`` is byte-identical pass-through; with a
+        checkpoint, sub-``min_default_s`` estimates, uncalibrated
+        buckets, and sub-margin gains all return the caller's original
+        text (pytest-pinned in tests/test_engine.py)."""
         if hints:
             sql = self.optimize_sql(sql)
         return self.runner.time(sql)
@@ -153,7 +164,16 @@ class DQOEngine:
         )
 
         if self.model is None:
-            self.load_best()
+            # default-on contract: a box with no staged checkpoint
+            # (fresh clone, reset .data) must degrade to pass-through,
+            # and must not re-probe the filesystem on every query
+            if self._hints_unavailable:
+                return sql
+            try:
+                self.load_best()
+            except Exception:
+                self._hints_unavailable = True
+                return sql
         try:
             q = self.parse(sql)
         except Exception:

