@@ -26,8 +26,8 @@ python tools/merge_workloads.py .data/gen_r10 .data/gen_r10_a .data/gen_r10_b \
   > "$H/merge.log" 2>&1 || { echo "[recovery10] merge FAILED"; exit 1; }
 python tools/persist_artifacts.py save >/dev/null
 
-step "fresh stratified split (test floor 12/bucket)"
-python tools/split_workload.py .data/gen_r10 .data/est_r10 0.15 0.05 12 \
+step "fresh stratified split (test floor 8/bucket)"
+python tools/split_workload.py .data/gen_r10 .data/est_r10 0.15 0.05 8 \
   > "$H/split.log" 2>&1 || { echo "[recovery10] split FAILED"; exit 1; }
 python tools/persist_artifacts.py save >/dev/null
 
