@@ -51,6 +51,9 @@ PATTERNS = [
     "est_sf10_best/*.json",
     "ft_*/finetune_*.json",
     "ft_*/model_*.json",
+    "est_*_out/report.json",
+    "est_*_out/*/model_*.json",
+    "est_*_out/*/report.json",
     "est_*_sweep/*/report.json",
     "est_*_sweep/*/model_*.json",
 ]
