@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -171,8 +172,18 @@ class DQOEngine:
                 return sql
             try:
                 self.load_best()
-            except Exception:
+            except Exception as exc:
+                # Latch off for the life of the engine, but say WHY once:
+                # a corrupt choice.json must be distinguishable from "no
+                # checkpoint staged" (round-10 advice).  Note the latch is
+                # per-engine — after a persist_artifacts restore, build a
+                # fresh Engine (or call load_best explicitly) to re-probe.
                 self._hints_unavailable = True
+                print(
+                    f"hints: disabled for this engine — load_best() failed: "
+                    f"{type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
                 return sql
         try:
             q = self.parse(sql)

@@ -80,3 +80,46 @@ def test_save_then_restore_roundtrip_after_reset(tmp_path):
     shutil.rmtree(m.DATA)
     assert m.restore() == 2
     assert (m.DATA / "gen_sf10_r10" / "workload.csv").read_text() == "a,1\n"
+
+def test_save_never_regresses_newer_artifact(tmp_path):
+    """Round-10 advice: a box with stale .data (git pull from elsewhere,
+    interrupted run) must not overwrite a newer git-tracked mirror even
+    when sizes differ."""
+    import os
+
+    m = _load(tmp_path)
+    (m.DATA / "gen_r10_a").mkdir(parents=True)
+    src = m.DATA / "gen_r10_a" / "workload.csv"
+    src.write_text("stale-short")
+    dst = m.ART / "gen_r10_a" / "workload.csv"
+    dst.parent.mkdir(parents=True)
+    dst.write_text("fresh-artifact-with-more-rows")
+    # make the artifact strictly newer than the working file
+    os.utime(src, (1_000_000, 1_000_000))
+    os.utime(dst, (2_000_000, 2_000_000))
+
+    assert m.save() == 0
+    assert dst.read_text() == "fresh-artifact-with-more-rows"
+
+
+def test_restore_force_replaces_stale_working_file(tmp_path):
+    """Round-10 advice: an older/truncated .data file must not silently
+    shadow the known-good artifact; --force replaces it."""
+    import os
+
+    m = _load(tmp_path)
+    dst = m.DATA / "est_best" / "choice.json"
+    dst.parent.mkdir(parents=True)
+    dst.write_text("truncat")
+    src = m.ART / "est_best" / "choice.json"
+    src.parent.mkdir(parents=True)
+    src.write_text("good-choice")
+    os.utime(dst, (1_000_000, 1_000_000))
+    os.utime(src, (2_000_000, 2_000_000))
+
+    # default: skipped (surfaced to the operator), file untouched
+    assert m.restore() == 0
+    assert dst.read_text() == "truncat"
+    # force: artifact wins
+    assert m.restore(force=True) == 1
+    assert dst.read_text() == "good-choice"

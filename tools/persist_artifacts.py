@@ -60,8 +60,19 @@ PATTERNS = [
 
 
 def _copy_if_newer(src: Path, dst: Path) -> bool:
-    if dst.exists() and dst.stat().st_mtime >= src.stat().st_mtime and dst.stat().st_size == src.stat().st_size:
-        return False
+    # The git-tracked mirror is the durable copy: never let an older
+    # .data file (stale box, interrupted run, git pull from elsewhere)
+    # overwrite a newer artifact.  mtime alone decides — size equality
+    # is NOT a skip criterion (a newer-but-different-size dst must
+    # still win).
+    if dst.exists():
+        if dst.stat().st_mtime >= src.stat().st_mtime:
+            if dst.stat().st_size != src.stat().st_size:
+                print(
+                    f"WARNING: artifacts/{dst.relative_to(ART)} is newer than "
+                    f".data copy but differs in size — keeping artifact"
+                )
+            return False
     dst.parent.mkdir(parents=True, exist_ok=True)
     shutil.copy2(src, dst)
     return True
@@ -77,7 +88,7 @@ def save() -> int:
     return n
 
 
-def restore() -> int:
+def restore(force: bool = False) -> int:
     n = 0
     if not ART.is_dir():
         print("no artifacts/ directory — nothing to restore")
@@ -85,21 +96,31 @@ def restore() -> int:
     for src in sorted(ART.rglob("*")):
         if src.is_file():
             dst = DATA / src.relative_to(ART)
-            # restore must never clobber a fresher working file
-            if not dst.exists():
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                shutil.copy2(src, dst)
-                print(f"restored .data/{dst.relative_to(DATA)}")
-                n += 1
+            if dst.exists() and not force:
+                # A fresher working file wins; a stale/truncated one is
+                # surfaced, not silently allowed to shadow the artifact.
+                if dst.stat().st_mtime >= src.stat().st_mtime:
+                    continue
+                print(
+                    f"skipped .data/{dst.relative_to(DATA)}: exists but is "
+                    f"OLDER than the artifact — rerun with --force to replace"
+                )
+                continue
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copy2(src, dst)
+            print(f"restored .data/{dst.relative_to(DATA)}")
+            n += 1
     return n
 
 
 def main() -> int:
-    mode = sys.argv[1] if len(sys.argv) > 1 else "save"
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    mode = argv[0] if argv else "save"
     if mode not in ("save", "restore"):
         print(__doc__)
         return 2
-    n = save() if mode == "save" else restore()
+    n = save() if mode == "save" else restore(force=force)
     print(f"{mode}: {n} files")
     return 0
 

@@ -8,7 +8,7 @@
 # and each phase ends with a persist_artifacts save so a mid-chain
 # crash (or another box reset) costs one phase, not the round.
 set -u
-cd /root/repo
+cd /root/repo || exit 1
 H=.data/harvest10
 mkdir -p "$H"
 
