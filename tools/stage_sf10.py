@@ -35,6 +35,7 @@ sys.path.insert(0, str(REPO))
 def candidate_acc() -> list[tuple[float, str, str]]:
     cands: list[tuple[float, str, str]] = []
     for root, label in (
+        (".data/ft_sf10_r11", "sf10-finetune-r11"),  # post-reset rebuild corpus
         (".data/ft_sf10_r10", "sf10-finetune-r10"),  # r9 ft continued on the grown corpus
         (".data/ft_sf10_r9", "sf10-finetune-r9"),
         (".data/ft_sf10", "sf10-finetune-r7"),
@@ -120,7 +121,7 @@ def main() -> None:
     # the NEWEST era that has a candidate and keep older ones only as
     # recorded also-rans.
     pool = cands
-    for era in ("-r10", "-r9"):
+    for era in ("-r11", "-r10", "-r9"):
         sub = [c for c in cands if c[2].endswith(era)]
         if sub:
             pool = sub
@@ -136,7 +137,7 @@ def main() -> None:
     split_dir = next(
         (
             REPO / d
-            for d in (".data/est_sf10_r10", ".data/est_sf10_r9", ".data/est_sf10_split")
+            for d in (".data/est_sf10_r11", ".data/est_sf10_r10", ".data/est_sf10_r9", ".data/est_sf10_split")
             if (REPO / d / "calib.csv").exists() or (REPO / d / "test.csv").exists()
         ),
         REPO / ".data/est_sf10_split",
