@@ -123,3 +123,45 @@ def test_restore_force_replaces_stale_working_file(tmp_path):
     # force: artifact wins
     assert m.restore(force=True) == 1
     assert dst.read_text() == "good-choice"
+
+
+def test_restore_force_never_clobbers_newer_working_file(tmp_path, capsys):
+    """Round-11 advice: the skip message implies --force replaces STALE
+    files; unsaved post-save work (a .data file strictly newer than the
+    artifact) must survive even under force, loudly."""
+    import os
+
+    m = _load(tmp_path)
+    dst = m.DATA / "gen_r11" / "workload.csv"
+    dst.parent.mkdir(parents=True)
+    dst.write_text("fresh-unsaved-labels")
+    src = m.ART / "gen_r11" / "workload.csv"
+    src.parent.mkdir(parents=True)
+    src.write_text("older-banked-copy")
+    os.utime(src, (1_000_000, 1_000_000))
+    os.utime(dst, (2_000_000, 2_000_000))
+
+    assert m.restore(force=True) == 0
+    assert dst.read_text() == "fresh-unsaved-labels"
+    assert "NOT replacing" in capsys.readouterr().out
+
+
+def test_save_warns_on_same_size_content_divergence(tmp_path, capsys):
+    """Round-11 advice: artifact mtimes are reset by any git clone/pull,
+    so a same-size different-content .data file must be surfaced, not
+    dropped silently (the old check compared sizes only)."""
+    import os
+
+    m = _load(tmp_path)
+    src = m.DATA / "gen_r11" / "workload.csv"
+    src.parent.mkdir(parents=True)
+    src.write_text("rows-AAAA")
+    dst = m.ART / "gen_r11" / "workload.csv"
+    dst.parent.mkdir(parents=True)
+    dst.write_text("rows-BBBB")  # same size, different content
+    os.utime(src, (1_000_000, 1_000_000))
+    os.utime(dst, (2_000_000, 2_000_000))
+
+    assert m.save() == 0
+    assert dst.read_text() == "rows-BBBB"
+    assert "content DIFFERS" in capsys.readouterr().out

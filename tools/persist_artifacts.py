@@ -26,6 +26,7 @@ Usage:
 
 from __future__ import annotations
 
+import filecmp
 import shutil
 import sys
 from pathlib import Path
@@ -67,10 +68,13 @@ def _copy_if_newer(src: Path, dst: Path) -> bool:
     # still win).
     if dst.exists():
         if dst.stat().st_mtime >= src.stat().st_mtime:
-            if dst.stat().st_size != src.stat().st_size:
+            # content compare, not just size: a git pull/clone resets
+            # artifact mtimes, so a diverged same-size .data file would
+            # otherwise be dropped silently (r11 ADVICE)
+            if not filecmp.cmp(src, dst, shallow=False):
                 print(
                     f"WARNING: artifacts/{dst.relative_to(ART)} is newer than "
-                    f".data copy but differs in size — keeping artifact"
+                    f".data copy but content DIFFERS — keeping artifact"
                 )
             return False
     dst.parent.mkdir(parents=True, exist_ok=True)
@@ -96,16 +100,27 @@ def restore(force: bool = False) -> int:
     for src in sorted(ART.rglob("*")):
         if src.is_file():
             dst = DATA / src.relative_to(ART)
-            if dst.exists() and not force:
-                # A fresher working file wins; a stale/truncated one is
-                # surfaced, not silently allowed to shadow the artifact.
-                if dst.stat().st_mtime >= src.stat().st_mtime:
+            if dst.exists():
+                # A fresher working file wins EVEN UNDER --force: the
+                # skip message promises force replaces stale files, not
+                # unsaved-newer work (r11 ADVICE — an operator following
+                # the prompt must not lose fresh labels).
+                if dst.stat().st_mtime > src.stat().st_mtime:
+                    if force:
+                        print(
+                            f"NOT replacing .data/{dst.relative_to(DATA)} "
+                            f"despite --force: it is NEWER than the artifact "
+                            f"(run persist_artifacts save first if it should win)"
+                        )
                     continue
-                print(
-                    f"skipped .data/{dst.relative_to(DATA)}: exists but is "
-                    f"OLDER than the artifact — rerun with --force to replace"
-                )
-                continue
+                if not force:
+                    if dst.stat().st_mtime >= src.stat().st_mtime:
+                        continue
+                    print(
+                        f"skipped .data/{dst.relative_to(DATA)}: exists but is "
+                        f"OLDER than the artifact — rerun with --force to replace"
+                    )
+                    continue
             dst.parent.mkdir(parents=True, exist_ok=True)
             shutil.copy2(src, dst)
             print(f"restored .data/{dst.relative_to(DATA)}")

@@ -92,6 +92,24 @@ def pick() -> None:
         )
         if old_acc > choice["accuracy"]:
             shutil.copy(INIT / "model_gru.json", BEST / "model_gru.json")
+            # schema check (r11 ADVICE): _pick staged the NEW split's
+            # schema.json into BEST. The keep-old score itself was
+            # measured through the NEW encoder, so the new schema is the
+            # consistent one to serve — but a silent divergence from the
+            # frozen snapshot means the weights were TRAINED against a
+            # different feature encoding; surface it in choice.json.
+            old_schema = INIT / "schema.json"
+            new_schema = BEST / "schema.json"
+            if old_schema.exists() and new_schema.exists():
+                same = old_schema.read_text() == new_schema.read_text()
+                choice["keep_old_schema_identical"] = same
+                if not same:
+                    print(
+                        "WARNING: schema snapshot changed since the kept "
+                        "weights were trained — serving with the NEW schema "
+                        "(matches how the keep-old candidate was scored), "
+                        "but retraining is overdue"
+                    )
             choice.update(
                 family="gru",
                 label="r10-winner-unchanged",

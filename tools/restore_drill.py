@@ -25,6 +25,7 @@ from __future__ import annotations
 import filecmp
 import json
 import shutil
+import subprocess
 import sys
 from pathlib import Path
 
@@ -37,6 +38,26 @@ ART = REPO / "artifacts"
 ASIDE = REPO / ".data.drill"
 
 
+# processes that write into .data/ — a drill while any of these runs
+# would rmtree their in-flight appends (r11 ADVICE, medium)
+WRITER_PATTERNS = (
+    "gen_workload.py",
+    "train_estimator.py",
+    "train_parallel.py",
+    "train_joint.py",
+    "finetune_estimator.py",
+    "relabel_workload.py",
+)
+
+
+def _writers_running() -> list[str]:
+    hits = []
+    for pat in WRITER_PATTERNS:
+        if subprocess.run(["pgrep", "-f", pat], capture_output=True).returncode == 0:
+            hits.append(pat)
+    return hits
+
+
 def main() -> int:
     import persist_artifacts
 
@@ -45,6 +66,14 @@ def main() -> int:
         return 2
     if not ART.is_dir():
         print("no artifacts/ directory — nothing to drill against")
+        return 2
+    writers = _writers_running()
+    if writers:
+        print(
+            "refusing to run: .data writers alive "
+            f"({', '.join(writers)}) — their mid-drill appends would land "
+            "in the restored tree and be destroyed by the merge-back"
+        )
         return 2
 
     had_data = DATA.exists()
@@ -85,15 +114,30 @@ def main() -> int:
                 n_csv += 1
         print(f"drill: {n_csv} corpus CSVs byte-identical to artifacts/")
     finally:
-        # merge the drill tree back under the original: original wins
+        # merge the drill tree back under the original: original wins.
+        # Guarded so a restore() that raised before .data was recreated
+        # doesn't mask the real error with FileNotFoundError and strand
+        # the original at .data.drill (r11 ADVICE, medium).
         if had_data:
-            for p in sorted(DATA.rglob("*")):
-                if p.is_file():
+            if DATA.exists():
+                for p in sorted(DATA.rglob("*")):
+                    if not p.is_file():
+                        continue
                     dst = ASIDE / p.relative_to(DATA)
                     if not dst.exists():
                         dst.parent.mkdir(parents=True, exist_ok=True)
                         shutil.copy2(p, dst)
-            shutil.rmtree(DATA)
+                    elif p.stat().st_mtime > dst.stat().st_mtime + 1:
+                        # something wrote into .data mid-drill despite the
+                        # pgrep guard — preserve it beside the original
+                        # instead of rmtree'ing the only copy
+                        kept = dst.with_name(dst.name + ".drill-new")
+                        shutil.copy2(p, kept)
+                        print(
+                            f"WARNING: {p.relative_to(DATA)} changed during "
+                            f"the drill — preserved as {kept.name}"
+                        )
+                shutil.rmtree(DATA)
             ASIDE.rename(DATA)
 
     if failures:

@@ -37,11 +37,15 @@ sf10_track() {
     python tools/train_estimator.py .data/sf10 0 .data/est_sf10_r11 \
     > "$H/sf10_warm.log" 2>&1 || echo "[harvest11] sf10 cache warm FAILED (ft will re-encode)"
 
-  step "sf10: fine-tune GRU from the r10 sf1 winner"
+  step "sf10: fine-tune GRU from the r10 sf1 winner (frozen init, not the
+        mutable est_best — r11 ADVICE: if the sf1 track's pick has already
+        run, est_best holds the r11 winner and the provenance is wrong)"
+  SF10_FT_SRC=.data/est_r11_init/model_gru.json
+  [ -f "$SF10_FT_SRC" ] || SF10_FT_SRC=.data/est_best/model_gru.json
   DQO_EPOCHS=120 DQO_LR=1e-3 DQO_BATCH=32 \
   DQO_ENC_CACHE=/root/repo/.data/est_sf10_r11/enc_cache.pkl \
     python tools/finetune_estimator.py \
-    .data/est_sf10_r11/workload.csv .data/est_best/model_gru.json gru \
+    .data/est_sf10_r11/workload.csv "$SF10_FT_SRC" gru \
     .data/ft_sf10_r11 .data/sf10 \
     .data/est_sf10_r11/test.csv .data/est_sf10_r11/calib.csv \
     > "$H/sf10_ft.log" 2>&1 || { echo "[harvest11] sf10 ft FAILED"; tail -5 "$H/sf10_ft.log"; exit 1; }
