@@ -181,7 +181,17 @@ def main() -> None:
 def _restored_histogram(prev: QueriesDataset, bal: BalancedQueryGen) -> dict[int, int]:
     hist = {b: 0 for b in bal.partitioner.buckets}
     lo, hi = min(hist), max(hist)
+    # DQO_RESTORE_DROP_OOB=1: a targeted window (e.g. mid-band buckets
+    # 4..7 on a corpus whose mass sits in -3..2) must NOT clamp the
+    # restored out-of-band rows into the edge buckets — bucket `lo`
+    # would look full (hundreds of clamped rows) and rargmin would
+    # starve it while the band's true fill is single-digit. Dropping
+    # out-of-band rows keeps the dataset (dedup + seed candidates)
+    # intact; only the balancer's fill view narrows to the band.
+    drop_oob = os.environ.get("DQO_RESTORE_DROP_OOB") == "1"
     for b in prev.buckets():
+        if drop_oob and not (lo <= b <= hi):
+            continue
         hist[min(max(b, lo), hi)] += 1  # clamp rows from wider past runs
     return hist
 

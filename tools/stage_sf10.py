@@ -35,6 +35,8 @@ sys.path.insert(0, str(REPO))
 def candidate_acc() -> list[tuple[float, str, str]]:
     cands: list[tuple[float, str, str]] = []
     for root, label in (
+        (".data/ft_sf10_r12", "sf10-finetune-r12"),  # continued from the r11 sf10 winner
+        (".data/ft_sf10_r12_sf1src", "sf10-ft-sf1src-r12"),  # re-ft from the sf1 winner
         (".data/ft_sf10_r11", "sf10-finetune-r11"),  # post-reset rebuild corpus
         (".data/ft_sf10_r10", "sf10-finetune-r10"),  # r9 ft continued on the grown corpus
         (".data/ft_sf10_r9", "sf10-finetune-r9"),
@@ -110,6 +112,46 @@ def discount_by_calib_share(union: dict, calib_only: dict | None) -> dict:
     return out
 
 
+def merge_disjoint_margins(union_discounted: dict, calib_only: dict | None) -> tuple[dict, bool]:
+    """Per-bucket margin source selection (r11 verdict ask #2: the
+    margins that decide when the hint gate ACTS were fit on calib+test,
+    and test also selected the winner — an optimism the calib-share
+    discount tempers but does not remove).
+
+    Where the DISJOINT calib carve has n >= 5 (the same floor
+    ``margins_from_calibration`` enforces), the bucket's entry is taken
+    from the calib-only report — rows the winner never saw during
+    selection. Thin buckets keep the discounted-union entry (the r8
+    tradeoff: an all-abstain gate silently disables a measured win).
+    Every entry records its ``margin_fit_source``; returns the merged
+    report and whether ALL acting buckets (n >= 5 post-merge) are
+    calib-only — the honest value for choice.json's
+    ``calibration_disjoint_from_selection``."""
+    out = dict(union_discounted)
+    all_disjoint = True
+    for key in ("per_bucket", "per_bucket_predicted"):
+        table = dict(out.get(key, {}))
+        ref = (calib_only or {}).get(key, {})
+        for b, s in table.items():
+            s = dict(s)
+            c = ref.get(b, {})
+            if int(c.get("n", 0)) >= 5:
+                s = dict(c)
+                s["margin_fit_source"] = "calib_only_disjoint"
+            else:
+                s["margin_fit_source"] = "union_discounted"
+                if key == "per_bucket_predicted" and int(s.get("n", 0)) >= 5:
+                    all_disjoint = False
+            table[b] = s
+        out[key] = table
+    out["margin_fit"] = (
+        "per-bucket entries sourced from the selection-DISJOINT calib carve "
+        "where it has n>=5; thin buckets fall back to the calib-share-"
+        "discounted calib+test union (margin_fit_source on every entry)"
+    )
+    return out, all_disjoint
+
+
 def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".data/est_sf10_best"
     cands = candidate_acc()
@@ -121,7 +163,7 @@ def main() -> None:
     # the NEWEST era that has a candidate and keep older ones only as
     # recorded also-rans.
     pool = cands
-    for era in ("-r11", "-r10", "-r9"):
+    for era in ("-r12", "-r11", "-r10", "-r9"):
         sub = [c for c in cands if c[2].endswith(era)]
         if sub:
             pool = sub
@@ -137,7 +179,13 @@ def main() -> None:
     split_dir = next(
         (
             REPO / d
-            for d in (".data/est_sf10_r11", ".data/est_sf10_r10", ".data/est_sf10_r9", ".data/est_sf10_split")
+            for d in (
+                ".data/est_sf10_r12",
+                ".data/est_sf10_r11",
+                ".data/est_sf10_r10",
+                ".data/est_sf10_r9",
+                ".data/est_sf10_split",
+            )
             if (REPO / d / "calib.csv").exists() or (REPO / d / "test.csv").exists()
         ),
         REPO / ".data/est_sf10_split",
@@ -178,6 +226,12 @@ def main() -> None:
     else:
         shutil.copy(test_p, tmp / "workload.csv")
         calib_note = "test.csv (selection set — biased; no calib carve found)"
+    union_report = run_calibration(
+        tmp, tmp / "calibration_union.json", ".data/sf10", cache=split_dir / "enc_cache.pkl"
+    )
+    discounted = discount_by_calib_share(union_report, calib_only_report)
+    final, disjoint = merge_disjoint_margins(discounted, calib_only_report)
+    (tmp / "calibration.json").write_text(json.dumps(final, indent=1))
     (tmp / "choice.json").write_text(
         json.dumps(
             {
@@ -186,17 +240,15 @@ def main() -> None:
                 "accuracy": round(acc, 4),
                 "source": path,
                 "calibration_source": calib_note,
-                "calibration_disjoint_from_selection": False,
+                # True iff every bucket that can grant override authority
+                # (n>=5 in the merged per_bucket_predicted) was fit on
+                # calib-only rows the winner never saw during selection
+                "calibration_disjoint_from_selection": disjoint,
                 "candidates": [{"label": lb, "accuracy": round(a, 4)} for a, _, lb in cands],
             },
             indent=1,
         )
     )
-    union_report = run_calibration(
-        tmp, tmp / "calibration_union.json", ".data/sf10", cache=split_dir / "enc_cache.pkl"
-    )
-    final = discount_by_calib_share(union_report, calib_only_report)
-    (tmp / "calibration.json").write_text(json.dumps(final, indent=1))
 
     # swap: the serving dir is either the complete old staging or the
     # complete new one, never a mix
