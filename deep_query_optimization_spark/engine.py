@@ -19,8 +19,8 @@ parity with the reference's driver scripts (``dqo/lab/drivers/*``,
 from __future__ import annotations
 
 import json
+import logging
 import os
-import sys
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -179,10 +179,11 @@ class DQOEngine:
                 # per-engine — after a persist_artifacts restore, build a
                 # fresh Engine (or call load_best explicitly) to re-probe.
                 self._hints_unavailable = True
-                print(
-                    f"hints: disabled for this engine — load_best() failed: "
-                    f"{type(exc).__name__}: {exc}",
-                    file=sys.stderr,
+                logging.getLogger(__name__).warning(
+                    "hints: disabled for this engine — load_best() failed: "
+                    "%s: %s",
+                    type(exc).__name__,
+                    exc,
                 )
                 return sql
         try:

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from tools.stage_sf10 import discount_by_calib_share
+from tools.stage_sf10 import discount_by_calib_share, merge_disjoint_margins
 
 
 def test_discount_by_calib_share_scales_selection_biased_buckets():
@@ -45,3 +45,50 @@ def test_discount_by_calib_share_scales_selection_biased_buckets():
     # no calib carve at all: every bucket is selection-only -> half
     out2 = discount_by_calib_share(union, None)
     assert out2["per_bucket_predicted"]["3"]["bucket_accuracy"] == 0.4
+
+
+def test_merge_disjoint_margins_prefers_calib_only_where_thick():
+    """Round-11 verdict ask #2: margins must be fit on rows the winner
+    never saw during selection wherever the disjoint calib carve can
+    afford it (n >= 5, the same floor margins_from_calibration uses);
+    thin buckets keep the discounted-union entry so the gate does not
+    fall back to all-abstain. The returned flag is True only when every
+    bucket that can grant override authority is calib-only sourced."""
+    union_discounted = {
+        "per_bucket_predicted": {
+            "5": {"n": 12, "bucket_accuracy": 0.45, "calib_row_share": 0.5},
+            "6": {"n": 9, "bucket_accuracy": 0.3, "calib_row_share": 0.2},
+        },
+        "per_bucket": {
+            "5": {"n": 12, "bucket_accuracy": 0.4, "calib_row_share": 0.5},
+        },
+    }
+    calib_only = {
+        "per_bucket_predicted": {
+            "5": {"n": 6, "bucket_accuracy": 0.67},  # thick: disjoint entry wins
+            "6": {"n": 2, "bucket_accuracy": 1.0},  # thin: union fallback
+        },
+        "per_bucket": {"5": {"n": 6, "bucket_accuracy": 0.5}},
+    }
+    merged, disjoint = merge_disjoint_margins(union_discounted, calib_only)
+    t = merged["per_bucket_predicted"]
+    # bucket 5: the calib-only entry replaces the discounted union one
+    assert t["5"]["n"] == 6 and t["5"]["bucket_accuracy"] == 0.67
+    assert t["5"]["margin_fit_source"] == "calib_only_disjoint"
+    # bucket 6: calib carve too thin -> discounted union kept, flagged
+    assert t["6"]["n"] == 9 and t["6"]["bucket_accuracy"] == 0.3
+    assert t["6"]["margin_fit_source"] == "union_discounted"
+    # bucket 6 has n >= 5 post-merge, i.e. it CAN grant override
+    # authority from non-disjoint rows -> the honest flag is False
+    assert disjoint is False
+    assert "margin_fit" in merged
+
+    # once every acting bucket is calib-backed the flag flips true
+    calib_only["per_bucket_predicted"]["6"]["n"] = 5
+    _, disjoint2 = merge_disjoint_margins(union_discounted, calib_only)
+    assert disjoint2 is True
+
+    # no calib report at all: nothing is disjoint
+    merged3, disjoint3 = merge_disjoint_margins(union_discounted, None)
+    assert disjoint3 is False
+    assert merged3["per_bucket_predicted"]["5"]["margin_fit_source"] == "union_discounted"

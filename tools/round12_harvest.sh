@@ -43,9 +43,11 @@ freeze() {
 
 sf10_track() {
   freeze
-  step "sf10: split gen_sf10_r12 (calib 0.25 — the disjoint margin carve
-        needs n>=5 per mid-band bucket, r11 verdict ask #2)"
-  python tools/split_workload.py .data/gen_sf10_r12 .data/est_sf10_r12 0.15 0.25 5 \
+  step "sf10: split gen_sf10_r12 (calib 0.30 with a 5-row/bucket floor —
+        the disjoint margin carve needs n>=5 per mid-band bucket, r11
+        verdict ask #2; the floor is half-capped so scarce buckets keep
+        a training majority)"
+  python tools/split_workload.py .data/gen_sf10_r12 .data/est_sf10_r12 0.15 0.30 5 5 \
     > "$H/sf10_split.log" 2>&1 || { echo "[harvest12] sf10 split FAILED"; exit 1; }
   tail -1 "$H/sf10_split.log"
   save

@@ -12,12 +12,18 @@ scalar affine fit on the small calibration set removes that shift from
 predictions before they are scored against the clean test labels.
 
 Usage:
-    python tools/split_workload.py in_dir out_dir [test_frac] [calib_frac] [min_test_per_bucket]
+    python tools/split_workload.py in_dir out_dir [test_frac] [calib_frac] [min_test_per_bucket] [min_calib_per_bucket]
 
 ``min_test_per_bucket`` > 0 switches the test carve to
 ``stratified_split_min``: every bucket contributes at least that many
 test rows (capped at half the bucket), so per-bucket metrics on scarce
 upper buckets are measurable instead of resting on single-digit n.
+
+``min_calib_per_bucket`` > 0 does the same for the calibration carve
+(r11 verdict ask #2: per-bucket override margins are only fit where the
+selection-DISJOINT calib rows reach n >= 5, so a proportional carve
+that gives a 14-row bucket ~3 calib rows silently forfeits the
+disjoint margin exactly where the hint gate needs it).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
 
     min_test = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    min_calib = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     ds = QueriesDataset.load(str(in_dir / "workload.csv"))
     if min_test > 0:
@@ -49,7 +56,13 @@ def main() -> None:
     # min_test_per_bucket > 0 the test carve takes more than test_frac
     # of the rows (bucket floors), and dividing by the nominal fraction
     # would inflate calib and shrink train correspondingly
-    train, calib = rest.stratified_split(calib_frac * len(ds.rows) / max(len(rest.rows), 1), seed=1)
+    calib_frac_rest = calib_frac * len(ds.rows) / max(len(rest.rows), 1)
+    if min_calib > 0:
+        train, calib = rest.stratified_split_min(
+            calib_frac_rest, min_test_per_bucket=min_calib, seed=1
+        )
+    else:
+        train, calib = rest.stratified_split(calib_frac_rest, seed=1)
 
     train.save(str(out_dir / "workload.csv"))  # trainer reads this name
     test.save(str(out_dir / "test.csv"))
