@@ -101,6 +101,12 @@ def main() -> None:
         # 10-20-step climb from a random query
         seed_parser=lambda sql: parse_sql(spark, sql, engine.db),
         stop_when=lambda: engine.runner.wedged,
+        # DQO_PATIENCE: steps before a fruitless climb is abandoned.
+        # The default 30 is tuned for sf0.1/sf1 where a step costs
+        # seconds; at sf10 a mid-band overshoot costs a full watchdog
+        # cap x2 (double-run) per step, so a toxic lineage must be cut
+        # much sooner (r12 window 1 burned ~45 min on censored climbs)
+        patience=int(os.environ.get("DQO_PATIENCE", "30")),
     )
     if csv_path.exists():
         prev = QueriesDataset.load(str(csv_path))
