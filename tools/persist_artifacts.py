@@ -57,6 +57,9 @@ PATTERNS = [
     "est_*_out/*/report.json",
     "est_*_sweep/*/report.json",
     "est_*_sweep/*/model_*.json",
+    # curated measurement bands (tiny, hand-picked — losing one breaks
+    # round-over-round comparability of the hint reports)
+    "hint_band_*.csv",
 ]
 
 
