@@ -17,6 +17,7 @@ they are pure control loops, testable with a fake runner.
 
 from __future__ import annotations
 
+import math
 import random
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -231,6 +232,14 @@ class BalancedQueryGen:
     # failures mean the backend itself is gone (dead driver heap) and
     # generation stops rather than spinning on a corpse
     max_consecutive_failures: int = 5
+    # False: rows whose (universally clipped, [-3, 8]) ceil-log2 bucket
+    # falls outside the partitioner's [low, high] band are still added
+    # to the dataset but NOT credited to the fill histogram. In a
+    # banded window (e.g. sf10 mid-band 4..8) the default clamp credits
+    # every undershoot step to bucket `low`, which inflates its fill
+    # with rows that are NOT in (2^(low-1), 2^low] and starves it of
+    # rargmin targeting exactly where the band is thinnest.
+    count_out_of_band: bool = True
 
     def __post_init__(self) -> None:
         self.rng = random.Random(self.seed)
@@ -285,6 +294,11 @@ class BalancedQueryGen:
 
     def _record(self, sql: str, runtime: float) -> None:
         self.dataset.append((sql, runtime))
+        if not self.count_out_of_band:
+            raw = int(math.ceil(math.log2(runtime))) if runtime > 0 else -3
+            raw = min(8, max(-3, raw))
+            if not (self.partitioner.low <= raw <= self.partitioner.high):
+                return
         self.histogram[self.partitioner.bucket(runtime)] += 1
 
     def generate(self, n: int, time_budget_s: float | None = None) -> list[tuple[str, float]]:

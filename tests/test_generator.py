@@ -214,6 +214,34 @@ def test_balanced_gen_fills_histogram(db):
     assert bal2.dataset == bal.dataset
 
 
+def test_balanced_gen_out_of_band_not_credited(db):
+    """A banded window (count_out_of_band=False) must add out-of-band
+    rows to the dataset but NOT to the fill histogram: the default
+    clamp credits every undershoot to bucket `low`, inflating its fill
+    with rows that are not in (2^(low-1), 2^low] and starving it of
+    rargmin targeting (the r12 sf10 mid-band window saw bucket 4 at a
+    displayed fill of 14 with only 4 true (8,16] s rows)."""
+    runner = FakeRunner()  # FakeRunner yields ~0.01-2 s runtimes
+    bal = BalancedQueryGen(
+        db,
+        runner,
+        partitioner=Log2Partitioner(4, 8),
+        seed=5,
+        patience=5,
+        count_out_of_band=False,
+    )
+    bal.generate(10, time_budget_s=5)
+    assert len(bal.dataset) >= 10  # rows still recorded
+    in_band = [
+        rt for _, rt in bal.dataset if 4 <= max(-3, min(8, math.ceil(math.log2(rt)))) <= 8
+    ]
+    assert sum(bal.histogram.values()) == len(in_band)
+    # default behavior unchanged: everything clamps into the band
+    bal2 = BalancedQueryGen(db, runner, partitioner=Log2Partitioner(4, 8), seed=5, patience=5)
+    bal2.generate(10, time_budget_s=5)
+    assert sum(bal2.histogram.values()) == len(bal2.dataset)
+
+
 def test_rl_env_and_agent(db):
     runner = FakeRunner()
     env = QueryEnv(db, runner, target_bucket=-2, seed=3)

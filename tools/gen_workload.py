@@ -107,6 +107,10 @@ def main() -> None:
         # cap x2 (double-run) per step, so a toxic lineage must be cut
         # much sooner (r12 window 1 burned ~45 min on censored climbs)
         patience=int(os.environ.get("DQO_PATIENCE", "30")),
+        # a banded window that drops out-of-band RESTORED rows from the
+        # fill view must drop out-of-band LIVE rows too, or every
+        # undershoot step re-inflates bucket `lo` as the window runs
+        count_out_of_band=os.environ.get("DQO_RESTORE_DROP_OOB") != "1",
     )
     if csv_path.exists():
         prev = QueriesDataset.load(str(csv_path))
@@ -195,7 +199,21 @@ def _restored_histogram(prev: QueriesDataset, bal: BalancedQueryGen) -> dict[int
     # out-of-band rows keeps the dataset (dedup + seed candidates)
     # intact; only the balancer's fill view narrows to the band.
     drop_oob = os.environ.get("DQO_RESTORE_DROP_OOB") == "1"
-    for b in prev.buckets():
+    # bucketize with the PARTITIONER (ceil-log2), not the estimator's
+    # round-log2 dataset.buckets(): the live histogram the balancer
+    # updates during generation is ceil-based, and mixing the two
+    # shifted every restored row in (2^(b-0.5), 2^b] down one bucket —
+    # a 75 s row (ceil-bucket 7) was credited to 6, so rargmin saw
+    # bucket 7 as empty even where the corpus had rows
+    import math as _math
+
+    for _, rt, _ in prev.rows:
+        # ceil-bucket clipped to the UNIVERSAL corpus range [-3, 8]
+        # (every consumer treats >2^8 s as bucket 8 and <2^-3 s as -3),
+        # NOT the partitioner's [lo, hi] clamp — that would make every
+        # out-of-band row look in-band and defeat drop_oob
+        b = int(_math.ceil(_math.log2(rt))) if rt > 0 else -3
+        b = min(8, max(-3, b))
         if drop_oob and not (lo <= b <= hi):
             continue
         hist[min(max(b, lo), hi)] += 1  # clamp rows from wider past runs
