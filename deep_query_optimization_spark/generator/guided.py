@@ -222,6 +222,21 @@ class BalancedQueryGen:
     # control loops testable with a fake runner.
     seed_parser: Callable[[str], "Query"] | None = None
     seed_prob: float = 0.75
+    # Seed-candidate hygiene (both default to the permissive historical
+    # behavior; slow-band windows opt in via tools/gen_workload.py).
+    # Rows recorded at or above ``censor_ceiling`` are watchdog censors:
+    # their stored runtime is the cap, not the query, so the "within 2
+    # buckets of the window" proximity _seed_candidates assumes is
+    # simply unknown — and one mutation step from such a seed costs up
+    # to the full cap (x2 under double-run). None = no filtering.
+    censor_ceiling: float | None = None
+    # False: restore seeds only from BELOW the window ((lo/4, lo)).
+    # At sf10 the above-window range is dominated by censor clips from
+    # earlier, smaller caps (indistinguishable from real labels in the
+    # CSV), and a narrowing step from above costs at least the window's
+    # own runtime — while a below-window climb passes THROUGH the
+    # window and records its steps as useful labels either way.
+    seed_from_above: bool = True
     # checked between rows: True stops generation immediately (e.g. the
     # runner latched ``wedged`` — its Spark connection is suspect and
     # further timed rows would be garbage)
@@ -262,7 +277,8 @@ class BalancedQueryGen:
         return [
             (sql, rt)
             for sql, rt in self.dataset
-            if (lo / 4.0 <= rt < lo) or (hi < rt <= hi * 4.0)
+            if ((lo / 4.0 <= rt < lo) or (self.seed_from_above and hi < rt <= hi * 4.0))
+            and (self.censor_ceiling is None or rt < self.censor_ceiling)
         ]
 
     def _spawn(self) -> GuidedQueryGen:

@@ -242,6 +242,44 @@ def test_balanced_gen_out_of_band_not_credited(db):
     assert sum(bal2.histogram.values()) == len(bal2.dataset)
 
 
+def test_seed_candidate_hygiene(db):
+    """Censor clips and above-window rows must be excludable from seed
+    candidacy. A row recorded at the watchdog cap has an
+    unknown-greater true runtime, so the 'within 2 buckets of the
+    window' proximity _seed_candidates assumes is false — and one
+    mutation step from it costs up to the full cap x2 under double-run
+    (the r12 520s-cap sf10 window lost 23 min to a single climb seeded
+    from a 185s censor clip of an earlier window's cap)."""
+    runner = FakeRunner()
+    dataset = [
+        ("q_below", 30.0),  # (lo/4, lo) for the bucket-7 window
+        ("q_above_real", 200.0),  # (hi, hi*4) — a genuine label
+        ("q_censor", 500.0),  # at >=95% of this run's 520 s cap
+    ]
+
+    def mk(**kw):
+        bal = BalancedQueryGen(
+            db, runner, partitioner=Log2Partitioner(4, 8), seed=1, **kw
+        )
+        bal.restore({"histogram": {}, "dataset": list(dataset)})
+        return bal
+
+    lo, hi = 64.0, 128.0
+    # permissive default — the historical behavior — keeps everything
+    assert {s for s, _ in mk()._seed_candidates(lo, hi)} == {
+        "q_below", "q_above_real", "q_censor",
+    }
+    # censor_ceiling (0.95 x this run's cap) drops the clip only
+    assert {s for s, _ in mk(censor_ceiling=0.95 * 520.0)._seed_candidates(lo, hi)} == {
+        "q_below", "q_above_real",
+    }
+    # below-only seeding drops the whole above-window side (historical
+    # censors from earlier caps are indistinguishable from real labels)
+    assert {s for s, _ in mk(seed_from_above=False)._seed_candidates(lo, hi)} == {
+        "q_below",
+    }
+
+
 def test_rl_env_and_agent(db):
     runner = FakeRunner()
     env = QueryEnv(db, runner, target_bucket=-2, seed=3)

@@ -107,6 +107,14 @@ def main() -> None:
         # cap x2 (double-run) per step, so a toxic lineage must be cut
         # much sooner (r12 window 1 burned ~45 min on censored climbs)
         patience=int(os.environ.get("DQO_PATIENCE", "30")),
+        # Seed hygiene for slow bands (r12 window 3 burned 23 min on a
+        # single climb seeded from a 185s censor clip): never seed from
+        # a row recorded at >=95% of this run's own watchdog, and with
+        # DQO_SEED_BELOW_ONLY=1 never seed from above the window at all
+        # (historical censors from earlier caps are indistinguishable
+        # from real above-window labels in the CSV)
+        censor_ceiling=0.95 * timeout_s,
+        seed_from_above=os.environ.get("DQO_SEED_BELOW_ONLY") != "1",
         # a banded window that drops out-of-band RESTORED rows from the
         # fill view must drop out-of-band LIVE rows too, or every
         # undershoot step re-inflates bucket `lo` as the window runs

@@ -29,6 +29,7 @@ fi
 # same corpus dir as the mid-band window: bucket-8 rows extend the
 # r12 corpus, and the balancer's band view (lo=hi=8) sees only them
 env "DQO_BUCKET_LO=$LO" "DQO_BUCKET_HI=$HI" DQO_TIMEOUT_S=520 DQO_PATIENCE=6 \
+    DQO_SEED_BELOW_ONLY=1 \
     DQO_DOUBLE_RUN=1 DQO_RESTORE_DROP_OOB=1 DQO_CHECKPOINT_EVERY=1 \
     "DQO_BUDGET_S=$BUDGET" DQO_HOLD_QUIET=1 DQO_GEN_SEED=307 \
   python tools/gen_workload.py .data/sf10 9000 .data/gen_sf10_r12 \

@@ -16,8 +16,12 @@
 #   4. sf1 dual-generator band 3-7, 3600 s — r11 verdict asks #3/#6; bank
 # Training/staging/hint-report phases are interactive (round12_harvest.sh)
 # and NOT chained here: they need the corpus assessment in between.
+# An optional phase argument resumes the chain mid-sequence (used when
+# the band-7/8 window was restarted to pick up the seed-hygiene fix):
+#   round12_night.sh [all|b78|b8|sf1]
 set -u
 cd /root/repo || exit 1
+PHASE=${1:-all}
 
 log() { echo "[night12 $(date +%H:%M:%S)] $*"; }
 drain() {
@@ -27,22 +31,28 @@ bank() {
   python tools/persist_artifacts.py save 2>&1 | tail -1
 }
 
-log "waiting for the live mid-band window to finish"
-drain
-bank
-log "window 2 drained and banked"
+if [ "$PHASE" = all ]; then
+  log "waiting for the live mid-band window to finish"
+  drain
+  bank
+  log "window 2 drained and banked"
+fi
 
-log "starting ceil-band 7-8 window (520s cap, 3300s)"
-bash tools/round12_gen_sf10_b8.sh 3300 7 8
-drain
-bank
-log "band 7-8 window done"
+if [ "$PHASE" = all ] || [ "$PHASE" = b78 ]; then
+  log "starting ceil-band 7-8 window (520s cap, 2700s)"
+  bash tools/round12_gen_sf10_b8.sh 2700 7 8
+  drain
+  bank
+  log "band 7-8 window done"
+fi
 
-log "starting bucket-8 un-censor window (520s cap, 2700s)"
-bash tools/round12_gen_sf10_b8.sh 2700 8 8
-drain
-bank
-log "bucket-8 window done"
+if [ "$PHASE" != sf1 ]; then
+  log "starting bucket-8 un-censor window (520s cap, 2400s)"
+  bash tools/round12_gen_sf10_b8.sh 2400 8 8
+  drain
+  bank
+  log "bucket-8 window done"
+fi
 
 log "starting sf1 dual-generator window (3600s)"
 bash tools/round12_gen_sf1.sh 3600

@@ -231,6 +231,20 @@ def main() -> None:
     )
     discounted = discount_by_calib_share(union_report, calib_only_report)
     final, disjoint = merge_disjoint_margins(discounted, calib_only_report)
+    # r11 verdict "what's wrong" #3: on the two measured winning
+    # reorders the model's ABSOLUTE estimates for hinted variants were
+    # ~6-7x pessimistic (est 9.6s/7.9s vs wall 1.66s/1.12s,
+    # reports/learned_hints_sf10_slow_r11.json) while the RANKING was
+    # right both times. Consumers of this calibration must treat
+    # estimate magnitudes (min_gain_s thresholds, broadcast byte
+    # cutoffs) as untrusted; only per-bucket class + margin carry
+    # calibrated meaning. Recorded here so the caveat travels with the
+    # staged serving dir instead of living in a round report.
+    final["magnitude_note"] = (
+        "absolute runtime estimates on hint-variant plans measured ~6-7x "
+        "pessimistic vs wall-clock (learned_hints_sf10_slow_r11.json); "
+        "trust bucket ranking and per-bucket margins, not estimate deltas"
+    )
     (tmp / "calibration.json").write_text(json.dumps(final, indent=1))
     (tmp / "choice.json").write_text(
         json.dumps(
