@@ -210,8 +210,23 @@ def from_struct(name: str, schema: T.StructType) -> Table:
     return Table(name=name, columns=[Column(f.name, to_known_data_type(f.dataType)) for f in schema.fields])
 
 
+# Per-session memo of read_table DataFrames. A DataFrame is a LAZY
+# plan — every action still scans the parquet — but building one pays
+# driver-side file listing + footer/schema inference on each
+# ``spark.read.parquet`` call, and the 50-query gate builds the same
+# ten table scans hundreds of times. Keyed weakly by the session so a
+# stopped/replaced session's plans are never handed out (guide §1.2:
+# per-task work — here, per-QUERY driver work — after the algorithm).
+import weakref
+
+_READ_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one driver table.
+    """Lazy parquet scan of one driver table (memoized per session —
+    plan/metadata reuse only, never results).
 
     Some testdata generations write events.ts as TIMESTAMP(NANOS)
     parquet, which Spark's reader rejects; when that happens we read
@@ -221,13 +236,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    per_session = _READ_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:

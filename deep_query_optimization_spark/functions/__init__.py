@@ -129,6 +129,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hash_array(col: Column | str, n: int = 3) -> Column:
+    """DISTINCT shingle hashes of one text as an array — fully map-side.
+
+    Equivalent to ``explode(word_shingles) → filter ≠'' → hash32 →
+    distinct (id, hv)``, but the dedup runs inside the row via
+    ``array_distinct`` (each doc's shingles live in one array, so
+    per-row distinct IS the per-doc distinct) — no Exchange, no
+    aggregate. r12 optimization (guide §2.4: remove shuffles outright)."""
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.filter(word_shingles(c, n), lambda s: s != F.lit(""))
+    return F.array_distinct(F.transform(kept, lambda s: hash32(s)))
+
+
 def salted_join(left, right, key: str, n_salts: int = 16, how: str = "inner"):
     """Skew-mitigated equi-join: the skewed (left) side gets a random
     salt in [0, n_salts); the small/replicated (right) side is exploded

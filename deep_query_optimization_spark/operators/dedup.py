@@ -35,10 +35,9 @@ from pyspark.sql import functions as F
 from deep_query_optimization_spark.functions import (
     MINHASH_PRIME,
     cache_index,
-    cosine_similarity,
     hash32,
     parallelize_input,
-    word_shingles,
+    shingle_hash_array,
 )
 
 # Default scale guards. Shingles shared by more than MAX_SHINGLE_DF
@@ -69,13 +68,15 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle_hash) exploded rows; distinct per doc."""
-    return (
-        parallelize_input(df)
-        .select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("s"))
-        .filter(F.col("s") != "")
-        .select("id", hash32(F.col("s")).alias("hv"))
-        .distinct()
+    """(id, shingle_hash) exploded rows; distinct per doc.
+
+    r12: the per-doc distinct is computed map-side inside the row
+    (``shingle_hash_array``) instead of a ``.distinct()`` over the
+    exploded rows — the old form paid a full Exchange + two
+    HashAggregates for a dedup whose scope never leaves one row
+    (guide §2.4). Same (id, hv) set bit-for-bit."""
+    return parallelize_input(df).select(
+        F.col(id_col).alias("id"), F.explode(shingle_hash_array(text_col, n)).alias("hv")
     )
 
 
@@ -127,26 +128,41 @@ def jaccard_pairs(
         .join(groups.select("digest", "rep_id"), "digest")
         .select("id", "rep_id")
     )
+    # r12: members is read by FOUR consumers (ma/mb expansion + the
+    # intra self-join's two sides); uncached, each re-ran the documents
+    # scan + digest aggregation + join. Persist the narrow (id, rep_id)
+    # table once (guide §5: reuse-justified caching; released via
+    # release_caches like the shingle index).
+    members = cache_index(members, "jaccard_members")
     reps = df.join(
         groups.select(F.col("rep_id").alias(id_col), "cnt"), id_col
     )
 
-    sh = shingle_hashes(reps, id_col, text_col, n)
+    # r12: the group-count weight rides along from the reps row into the
+    # exploded shingle rows (one extra long per row) instead of being
+    # joined back on id — the old weights-join re-scanned reps and paid
+    # a join for a column the explode already had in hand (guide §2.4)
+    sh = parallelize_input(reps).select(
+        F.col(id_col).alias("id"),
+        F.col("cnt"),
+        F.explode(shingle_hash_array(text_col, n)).alias("hv"),
+    )
     if max_shingle_df is not None:
         # window SUM of group counts over hv = document-level df: ONE
         # added shuffle (vs a groupBy + join back), and the filtered
         # index is what gets cached
-        weights = reps.select(F.col(id_col).alias("id"), "cnt")
         sh = (
-            sh.join(weights, "id")
-            .withColumn("df_cnt", F.sum("cnt").over(Window.partitionBy("hv")))
+            sh.withColumn("df_cnt", F.sum("cnt").over(Window.partitionBy("hv")))
             .filter(F.col("df_cnt") <= max_shingle_df)
-            .select("id", "hv")
         )
+    sh = sh.select("id", "hv")
     sh = cache_index(sh, "jaccard_shingles")
-    sh.count()  # materialize the shingle index ONCE; the consumers
-    # below would otherwise race to populate the cache inside one job
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # r12: sizes feeds three consumers (sz_a, sz_b, the intra guard);
+    # cache the tiny per-doc aggregate instead of re-aggregating the
+    # shingle index three times
+    sizes = cache_index(
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")), "jaccard_sizes"
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -203,7 +219,17 @@ def jaccard_pairs(
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3, seed: int = 7) -> DataFrame:
     """Per-doc k-minhash signature columns m0..m{k-1} — one aggregation
     over exploded shingle hashes; partial min happens map-side, so the
-    shuffle carries one row per (doc, k) not per shingle."""
+    shuffle carries one row per (doc, k) not per shingle.
+
+    r12: the per-doc distinct now happens inside the row
+    (``shingle_hash_array`` via ``shingle_hashes``), dropping the old
+    ``.distinct()`` Exchange + double HashAggregate. The min itself
+    stays an exploded-row groupBy on purpose: a measured alternative
+    computing the k mins as ``array_min(transform(...))`` per row was
+    ~3× slower — higher-order functions evaluate interpreted,
+    per-element, while the exploded aggregate is whole-stage-codegen'd
+    (guide §1.1: switch back to the empirical loop when the "ideal"
+    plan loses)."""
     sh = shingle_hashes(df, id_col, text_col, n)
     aggs = [
         F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
@@ -262,7 +288,6 @@ def minhash_lsh_candidates(
             .select("id", "band", "key")
         )
     joinable = cache_index(all_bands, "minhash_bands")
-    joinable.count()  # materialize the LSH index before the self-join
     a = joinable.alias("a")
     b = joinable.alias("b")
     return (
@@ -280,25 +305,37 @@ def minhash_lsh_candidates(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc ``bits``-bit SimHash: bit j is the sign of the sum of
     votes (±1) of token-hash bit j over all tokens (with multiplicity).
-    One explode + one groupBy with ``bits`` conditional sums."""
-    toks = (
-        parallelize_input(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
+
+    r12: fully map-side — the token-hash array (multiplicity preserved)
+    is computed once per row, and each bit's vote sum is
+    ``2·|{hashes with bit j set}| − n_tokens`` (identical integer
+    arithmetic to summing ±1 per token). The old explode → groupBy(id)
+    form shuffled one row per TOKEN; this is a single scan with ZERO
+    shuffles (guide §2.3/2.4). Docs with no tokens produce no row,
+    exactly as the groupBy dropped them."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    hv = hash32(F.col("tok"))
-    votes = [
-        F.sum(F.when(F.shiftright(hv, j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    sums = toks.groupBy("id").agg(*votes)
+    base = parallelize_input(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: hash32(t)).alias("hvs"),
+    )
+    def _bit_set(j: int):
+        # closure factory (a defaulted lambda would change HOF arity)
+        return lambda h: F.shiftright(h, j).bitwiseAND(1) == 1
+
+    counts = base.select(
+        "id",
+        F.size("hvs").alias("n"),
+        *[F.size(F.filter(F.col("hvs"), _bit_set(j))).alias(f"c{j}") for j in range(bits)],
+    )
     sig: Column = F.lit(0).cast("long")
     for j in range(bits):
-        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sums.select("id", sig.alias("simhash"))
+        # votes v_j = 2*c_j - n; bit set when v_j > 0
+        sig = sig + F.when(2 * F.col(f"c{j}") - F.col("n") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return counts.filter(F.col("n") > 0).select("id", sig.alias("simhash"))
 
 
 def embedding_near_dup(
@@ -328,7 +365,14 @@ def embedding_near_dup(
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), vector_norm(F.col(vec_col)).alias("na"))
     if probe_filter is not None:
-        a = a.filter(probe_filter)
+        # r12: broadcast the BOUNDED probe side explicitly. Left alone,
+        # the planner built the nested-loop join on the corpus side and
+        # streamed the (single-partition, post-filter) probe scan — the
+        # whole pairwise cosine ran in ONE task. Broadcasting the probe
+        # side streams the parallelized corpus instead, spreading the
+        # per-pair work across the cluster (guide §3.1: pick the build
+        # side deliberately; estimates after filters are unreliable).
+        a = F.broadcast(a.filter(probe_filter))
     b = parallelize_input(df).select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), vector_norm(F.col(vec_col)).alias("nb")
     )

@@ -55,11 +55,8 @@ def _count_in_list(col: Column | str, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(w, lambda t: F.array_contains(arr, t))).cast("long")
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Length / punctuation / stopword-ratio features + quality band.
-
-    The quality score mirrors common LLM-corpus heuristics (length in
-    range, low punctuation noise, healthy stopword ratio)."""
+def _quality_cols(text_col: str) -> list[Column]:
+    """The quality-feature output columns (aliased, in contract order)."""
     c = F.col(text_col)
     n_chars = F.length(c).cast("long")
     n_tokens = token_count(c)
@@ -80,8 +77,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     band = (
         F.when(score >= 0.7, "high").when(score >= 0.4, "mid").otherwise("low")
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stop_ratio"),
@@ -89,13 +85,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         mean_tok_len.alias("mean_tok_len"),
         score.alias("quality_score"),
         band.alias("quality_band"),
-    )
+    ]
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-count language heuristic: argmax over per-language
-    marker hit counts, deterministic tie-break by language code,
-    'und' when nothing matches."""
+def _lang_cols(text_col: str) -> list[Column]:
+    """The language-ID output columns (aliased, in contract order)."""
     counts = {lang: _count_in_list(F.col(text_col), markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     pred = F.lit("und")
@@ -103,9 +97,32 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # applied last wins in when-chain construction below)
     for lang in sorted(counts, reverse=True):
         pred = F.when((counts[lang] > 0) & (counts[lang] == best), lang).otherwise(pred)
-    out = [F.col(id_col), pred.alias("pred_lang")]
-    out += [counts[lang].alias(f"hits_{lang}") for lang in sorted(counts)]
-    return df.select(*out)
+    return [pred.alias("pred_lang")] + [counts[lang].alias(f"hits_{lang}") for lang in sorted(counts)]
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio features + quality band.
+
+    The quality score mirrors common LLM-corpus heuristics (length in
+    range, low punctuation noise, healthy stopword ratio)."""
+    return df.select(F.col(id_col), *_quality_cols(text_col))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-count language heuristic: argmax over per-language
+    marker hit counts, deterministic tie-break by language code,
+    'und' when nothing matches."""
+    return df.select(F.col(id_col), *_lang_cols(text_col))
+
+
+def quality_langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality features + language ID in ONE scan — column-for-column
+    identical to ``quality_features(df).join(lang_id(df), id_col)``
+    (both sides are per-doc projections over the same unique key, so
+    the 1:1 inner join is just column concatenation). r12 optimization:
+    the join form scanned documents twice and paid a shuffle join for
+    columns computable side by side in one projection (guide §2.4)."""
+    return df.select(F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

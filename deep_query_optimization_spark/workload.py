@@ -845,13 +845,13 @@ def q_text_quality_langid(spark, sf_dir):
     """Quality scoring (length/punct/stopword heuristics) + language ID
     (marker-stopword argmax) in one per-doc row (operators/text.py) —
     the two per-document classifiers a corpus pipeline runs together in
-    one scan. Pure JVM column expressions, no UDFs."""
-    from deep_query_optimization_spark.operators.text import lang_id, quality_features
+    one scan. Pure JVM column expressions, no UDFs. r12: computed as a
+    true single-scan projection (text.quality_langid) — the previous
+    quality⋈langid self-join on doc_id scanned documents twice and
+    shuffled both sides for a 1:1 key (guide §2.4); identical columns."""
+    from deep_query_optimization_spark.operators.text import quality_langid
 
-    docs = t(spark, sf_dir, "documents")
-    q = quality_features(docs, "doc_id", "text")
-    l = lang_id(docs, "doc_id", "text")
-    return q.join(l, "doc_id")
+    return quality_langid(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register("text_fingerprint_tokens", _orc.text_fingerprint_tokens())
@@ -859,23 +859,23 @@ def q_text_fingerprint_tokens(spark, sf_dir):
     """Content fingerprint (60-bit md5-prefix digest) + token
     accounting: whitespace tokens + BPE-pretokenizer subword tokens
     (operators/text.py) — the per-doc identity and budget numbers a
-    training pipeline packs sequences and enforces token quotas with."""
-    from deep_query_optimization_spark.operators.text import (
-        fingerprint,
-        subword_token_count,
-        token_count,
-    )
+    training pipeline packs sequences and enforces token quotas with.
+    r12: one scan, one projection — the previous fingerprint⋈counts
+    join on doc_id scanned documents twice and shuffled both sides for
+    a 1:1 key (guide §2.4); identical columns."""
+    from deep_query_optimization_spark.operators.text import subword_token_count, token_count
+    from deep_query_optimization_spark.functions import hash64
 
     docs = t(spark, sf_dir, "documents")
     ws = token_count(F.col("text"))
     sub = subword_token_count(F.col("text"))
-    counts = docs.select(
+    return docs.select(
         "doc_id",
+        hash64(F.col("text")).alias("fp"),
         ws.alias("n_ws_tokens"),
         sub.alias("n_subword_tokens"),
         F.round(sub / F.greatest(ws, F.lit(1)), 6).alias("subword_ratio"),
     )
-    return fingerprint(docs, "doc_id", "text").join(counts, "doc_id")
 
 
 @register("multimodal_decode", _orc.multimodal_decode())

@@ -173,7 +173,14 @@ def test_index_caches_released(spark, docs):
     dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
     dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
     dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
-    assert len(fx._INDEX_CACHES) == 2  # one live index per operator, not per call
+    # fixed key set — one live index per (operator, table) key, never
+    # per call (r12: jaccard also persists its members + sizes tables)
+    assert set(fx._INDEX_CACHES) == {
+        "jaccard_shingles",
+        "jaccard_members",
+        "jaccard_sizes",
+        "minhash_bands",
+    }
     fx.release_caches()
     assert not fx._INDEX_CACHES
     jvm_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
