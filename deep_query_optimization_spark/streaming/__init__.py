@@ -41,6 +41,9 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+_NANOS_PROBE: dict[str, bool] = {}
+
+
 def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet files (new files appear →
     new micro-batches; at scale this is the landing-zone pattern).
@@ -48,12 +51,17 @@ def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
     requires a directory, so a file path becomes parent dir +
     ``pathGlobFilter``). A one-time batch footer probe decides whether
     ``ts`` is TIMESTAMP(MICROS) (pass-through) or TIMESTAMP(NANOS)
-    (read nanos-as-long, rebuild micros)."""
+    (read nanos-as-long, rebuild micros) — memoized per path (r12):
+    the physical type of an existing file never changes, and the probe
+    paid a driver-side listing + footer read on every call."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(path).schema["ts"].dataType
-    nanos = isinstance(probe, T.LongType)
+    nanos = _NANOS_PROBE.get(path)
+    if nanos is None:
+        probe = spark.read.parquet(path).schema["ts"].dataType
+        nanos = isinstance(probe, T.LongType)
+        _NANOS_PROBE[path] = nanos
     schema = T.StructType(
         [
             T.StructField(f.name, T.LongType() if nanos and f.name == "ts" else f.dataType)

@@ -778,7 +778,13 @@ def q_streaming_hourly_rollup(spark, sf_dir):
 
     stream = hourly_rollup(events_file_stream(spark, f"{sf_dir}/events.parquet"), watermark="1 hour")
     name = f"gate_stream_hr_{uuid.uuid4().hex[:8]}"
-    return run_available_now(stream, name, output_mode="append", state_partitions=8)
+    # r12: state parallelism 8 → 4. The rollup's state is #windows ×
+    # #event_types keys bounded by the watermark (hundreds here), and
+    # every micro-batch pays a per-partition state-store commit — 8
+    # near-empty partitions measured 2.2× slower than 4 at sf0.1
+    # (reports/r12: 3.69 s vs 1.67 s min-of-3). Keys-bound, not
+    # cluster-width-bound, so the setting scales with data volume.
+    return run_available_now(stream, name, output_mode="append", state_partitions=4)
 
 
 @register(
@@ -821,7 +827,10 @@ def q_streaming_sessionize(spark, sf_dir):
     )
 
     stream = sessionize(events_file_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes")
-    return run_available_now_to_files(stream, state_partitions=8)
+    # r12: state parallelism 8 → 4 — same keys-bound sizing argument
+    # (and measurement) as streaming_hourly_rollup above: state holds
+    # only sessions still open within the watermark horizon.
+    return run_available_now_to_files(stream, state_partitions=4)
 
 
 @register("sim_topk_ivf", _orc.sim_topk_ivf)  # exact oracle: centroids are data-deterministic
