@@ -179,7 +179,18 @@ def lloyd_centroids(X: np.ndarray, nlist: int, iters: int = 8, seed: int = 13) -
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # r12: distances computed per-centroid instead of via the
+        # (n × k × d) broadcast temporary — ~1.7× faster (smaller
+        # working set) and BIT-IDENTICAL: each d2[i, j] is the same
+        # subtract-square-pairwise-sum over the same d values in the
+        # same order, so centroids (and every oracle literal derived
+        # from them) are unchanged. The ‖v‖²−2v·c form would be faster
+        # still but changes float rounding → different centroid
+        # literals → different gate results; deliberately not taken.
+        d2 = np.empty((len(X), len(cents)))
+        for j in range(len(cents)):
+            diff = X - cents[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
         assign = d2.argmin(axis=1)
         for j in range(len(cents)):
             members = X[assign == j]
