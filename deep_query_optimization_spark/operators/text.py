@@ -121,8 +121,14 @@ def quality_langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (both sides are per-doc projections over the same unique key, so
     the 1:1 inner join is just column concatenation). r12 optimization:
     the join form scanned documents twice and paid a shuffle join for
-    columns computable side by side in one projection (guide §2.4)."""
-    return df.select(F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col))
+    columns computable side by side in one projection (guide §2.4).
+    The input is spread across cores first — the regex/array work is
+    CPU-bound and a small parquet input arrives as one split."""
+    from deep_query_optimization_spark.functions import parallelize_input
+
+    return parallelize_input(df).select(
+        F.col(id_col), *_quality_cols(text_col), *_lang_cols(text_col)
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -875,6 +875,9 @@ def q_text_fingerprint_tokens(spark, sf_dir):
     from deep_query_optimization_spark.operators.text import subword_token_count, token_count
     from deep_query_optimization_spark.functions import hash64
 
+    # measured: spreading this scan (parallelize_input) costs more in
+    # repartition than the cheap md5+count projection gains — left as
+    # a single-split scan on purpose
     docs = t(spark, sf_dir, "documents")
     ws = token_count(F.col("text"))
     sub = subword_token_count(F.col("text"))
