@@ -183,37 +183,38 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
 
-    # expand representative pairs back to document pairs
+    # expand representative pairs back to document pairs — ONE join
+    # pass (r12 second pass). Intra-group pairs (Jaccard 1.0 between
+    # exact duplicates) ride the same expansion as cross-group pairs:
+    # the diagonal (rep, rep, 1.0) is appended to rep_pairs for every
+    # rep that kept ≥1 shingle (same guard as the old intra self-join —
+    # shingle-free docs produce no rows in the uncollapsed join either),
+    # and the diagonal's expansion keeps each unordered member pair
+    # once via doc_a < doc_b. Off-diagonal rows have id_a < id_b
+    # strictly (the inter join's a.id < b.id), so the filter's first
+    # branch keeps all of them, exactly as before. This replaces the
+    # old 4-join tail (cross: 2 joins; intra: member self-join + sizes
+    # guard join; then a union of two heavy branches) with 2 joins over
+    # a union of already-small inputs — identical output rows
+    # (oracle-checked).
+    diag = sizes.select(
+        F.col("id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
+    ).filter(F.lit(1.0) >= threshold)
     ma = members.select(F.col("rep_id").alias("id_a"), F.col("id").alias("doc_a"))
     mb = members.select(F.col("rep_id").alias("id_b"), F.col("id").alias("doc_b"))
-    cross = (
-        rep_pairs.join(ma, "id_a")
+    return (
+        rep_pairs.unionAll(diag)
+        .join(ma, "id_a")
         .join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b")) | (F.col("doc_a") < F.col("doc_b")))
         .select(
             F.least("doc_a", "doc_b").alias("id_a"),
             F.greatest("doc_a", "doc_b").alias("id_b"),
             "jaccard",
         )
     )
-    # intra-group pairs score 1.0 — emitted only when the text kept at
-    # least one shingle (same as the uncollapsed join, where shingle-
-    # free docs produce no rows)
-    m1 = members.alias("m1")
-    m2 = members.alias("m2")
-    intra = (
-        m1.join(
-            m2,
-            (F.col("m1.rep_id") == F.col("m2.rep_id")) & (F.col("m1.id") < F.col("m2.id")),
-        )
-        .join(sizes.select(F.col("id").alias("__sz_rep")), F.col("m1.rep_id") == F.col("__sz_rep"))
-        .select(
-            F.col("m1.id").alias("id_a"),
-            F.col("m2.id").alias("id_b"),
-            F.round(F.lit(1.0), 6).alias("jaccard"),
-        )
-        .filter(F.lit(1.0) >= threshold)
-    )
-    return cross.unionAll(intra)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3, seed: int = 7) -> DataFrame:
