@@ -59,6 +59,44 @@ def test_jaccard_pairs_symmetric_threshold(spark):
     assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["jaccard"]) == (0, 1, 1.0)
 
 
+def test_shingles_short_and_degenerate_texts(spark):
+    """r12 pin: the bound-words shingle form must (a) produce the same
+    shingles as a direct Python reference, and (b) yield EMPTY arrays —
+    not crash — for texts with fewer than n words (the unbound form fed
+    slice a 0 start via Spark's descending sequence(0,-1)) and for
+    null/empty/whitespace texts."""
+    from deep_query_optimization_spark.functions import shingle_hash_array, word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "one two three four"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["ws"], r["sh"])
+        for r in df.select(
+            "doc_id",
+            word_shingles("text").alias("ws"),
+            shingle_hash_array("text").alias("sh"),
+        ).collect()
+    }
+    assert out[0] == (None, None)  # null propagates
+    for i in (1, 2, 3, 4):
+        assert out[i] == ([], [])
+    assert out[5][0] == ["one two three"]
+    assert out[6][0] == ["one two three", "two three four"]
+    for i, expect in [(5, ["one two three"]), (6, ["one two three", "two three four"])]:
+        hashes = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in expect]
+        assert out[i][1] == hashes
+
+
 def test_jaccard_shingle_df_cap_bounds_fanout(spark):
     """Planted hot shingle: every doc shares one stop-phrase 3-gram.
     Uncapped, the co-shingle join fans out quadratically (n·(n-1)/2
