@@ -569,14 +569,25 @@ def q_time_extract_groupby(spark, sf_dir):
 def q_events_hourly_rollup(spark, sf_dir):
     """Tumbling-window rollup over the events table — the batch
     equivalent of the streaming windowed aggregation in ``streaming/``.
-    Output bucket as a string so hashing is engine-neutral."""
+    Output bucket as a string so hashing is engine-neutral.
+
+    r12 second pass: group by the TRUNCATED TIMESTAMP and format once
+    per group after the agg (the streaming twin already has this shape)
+    — the old form ran date_format per ROW and shuffled 16-char string
+    keys where 8-byte timestamps suffice (guide §2.3: narrower shuffle
+    keys). Identical rows/schema (distinct hours ↔ distinct formatted
+    strings; exceptAll 0 both ways); 0.20-0.40 s → 0.17-0.28 s
+    interleaved at sf0.1."""
     e = t(spark, sf_dir, "events")
     return (
-        e.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour_bucket"),
-            "event_type",
-        )
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("h"), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
     )
 
 
