@@ -136,8 +136,10 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         # sequence(0, size-n) form crashed there — Spark's sequence(0,-1)
         # is the DESCENDING [0,-1], not empty, feeding slice a 0 start
         # (latent since round 1; unreachable on the gate corpora, which
-        # have no < n-word docs — behavior for every working input is
-        # unchanged).
+        # have no < n-word docs — behavior for every non-crashing,
+        # non-null input is unchanged; NULL text now propagates as NULL
+        # where the old form returned [''] — pinned in pytest, and all
+        # current consumers explode the array so rows are identical).
         return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
             F.array_distinct(
                 F.transform(

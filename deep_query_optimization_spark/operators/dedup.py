@@ -128,11 +128,12 @@ def jaccard_pairs(
         .join(groups.select("digest", "rep_id"), "digest")
         .select("id", "rep_id")
     )
-    # r12: members is read by FOUR consumers (ma/mb expansion + the
-    # intra self-join's two sides); uncached, each re-ran the documents
-    # scan + digest aggregation + join. Persist the narrow (id, rep_id)
-    # table once (guide §5: reuse-justified caching; released via
-    # release_caches like the shingle index).
+    # r12: members is read by TWO consumers (the ma/mb expansion sides;
+    # the old intra self-join was merged into the expansion tail);
+    # uncached, each re-ran the documents scan + digest aggregation +
+    # join. Persist the narrow (id, rep_id) table once (guide §5:
+    # reuse-justified caching; released via release_caches like the
+    # shingle index).
     members = cache_index(members, "jaccard_members")
     reps = df.join(
         groups.select(F.col("rep_id").alias(id_col), "cnt"), id_col

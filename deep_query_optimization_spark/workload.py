@@ -577,7 +577,10 @@ def q_events_hourly_rollup(spark, sf_dir):
     keys where 8-byte timestamps suffice (guide §2.3: narrower shuffle
     keys). Identical rows/schema (distinct hours ↔ distinct formatted
     strings; exceptAll 0 both ways); 0.20-0.40 s → 0.17-0.28 s
-    interleaved at sf0.1."""
+    interleaved at sf0.1. NOTE: distinct-hours ↔ distinct-strings holds
+    because the session timezone is pinned to UTC (session.py) — under
+    a DST zone the fall-back hour maps two truncated timestamps to one
+    formatted string, which the old group-by-string form would merge."""
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
