@@ -222,6 +222,11 @@ import weakref
 _READ_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
+# r13 hygiene: bound each per-session memo. A long-lived session
+# scanning many sf_dirs would otherwise accumulate plan entries
+# forever; FIFO-evict the oldest (dict preserves insertion order) past
+# a cap well above the 10 tables × handful of sf_dirs a session uses.
+_READ_CACHE_MAX = 64
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -248,6 +253,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if len(per_session) >= _READ_CACHE_MAX:
+        per_session.pop(next(iter(per_session)))
     per_session[key] = df
     return df
 

@@ -788,7 +788,12 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     holds a watermark-bounded number of window×type keys)."""
     import uuid
 
-    from deep_query_optimization_spark.streaming import events_file_stream, hourly_rollup, run_available_now
+    from deep_query_optimization_spark.streaming import (
+        events_file_stream,
+        hourly_rollup,
+        run_available_now,
+        stream_state_partitions,
+    )
 
     stream = hourly_rollup(events_file_stream(spark, f"{sf_dir}/events.parquet"), watermark="1 hour")
     name = f"gate_stream_hr_{uuid.uuid4().hex[:8]}"
@@ -797,8 +802,13 @@ def q_streaming_hourly_rollup(spark, sf_dir):
     # every micro-batch pays a per-partition state-store commit — 8
     # near-empty partitions measured 2.2× slower than 4 at sf0.1
     # (reports/r12: 3.69 s vs 1.67 s min-of-3). Keys-bound, not
-    # cluster-width-bound, so the setting scales with data volume.
-    return run_available_now(stream, name, output_mode="append", state_partitions=4)
+    # cluster-width-bound. r13: the value comes from
+    # stream_state_partitions() (env-overridable, sf0.1 default 4) so
+    # scale runs size it to their key volume instead of inheriting the
+    # local tuning.
+    return run_available_now(
+        stream, name, output_mode="append", state_partitions=stream_state_partitions()
+    )
 
 
 @register(
@@ -838,13 +848,15 @@ def q_streaming_sessionize(spark, sf_dir):
         events_file_stream,
         run_available_now_to_files,
         sessionize,
+        stream_state_partitions,
     )
 
     stream = sessionize(events_file_stream(spark, f"{sf_dir}/events.parquet"), gap="30 minutes")
     # r12: state parallelism 8 → 4 — same keys-bound sizing argument
     # (and measurement) as streaming_hourly_rollup above: state holds
-    # only sessions still open within the watermark horizon.
-    return run_available_now_to_files(stream, state_partitions=4)
+    # only sessions still open within the watermark horizon. r13:
+    # env-overridable via stream_state_partitions() for scale runs.
+    return run_available_now_to_files(stream, state_partitions=stream_state_partitions())
 
 
 @register("sim_topk_ivf", _orc.sim_topk_ivf)  # exact oracle: centroids are data-deterministic

@@ -72,3 +72,27 @@ def test_from_struct():
     schema = T.StructType([T.StructField("a", T.LongType()), T.StructField("s", T.StringType())])
     t = from_struct("t", schema)
     assert [c.data_type for c in t.columns] == [DataType.NUMBER, DataType.STRING]
+
+
+def test_read_table_memo_bounded_and_session_keyed(monkeypatch, spark, sf_dir):
+    """r13 hygiene: the per-session read_table memo FIFO-evicts past
+    its cap, and distinct session objects get distinct memos (weakref
+    keying — a replaced session is never handed another's plans)."""
+    from deep_query_optimization_spark import catalog
+
+    monkeypatch.setattr(catalog, "_READ_CACHE", type(catalog._READ_CACHE)())
+    monkeypatch.setattr(catalog, "_READ_CACHE_MAX", 2)
+    for name in ("region", "nation", "supplier"):
+        catalog.read_table(spark, sf_dir, name)
+    memo = catalog._READ_CACHE[spark]
+    assert len(memo) == 2
+    assert (sf_dir, "region") not in memo  # oldest evicted
+    assert {(sf_dir, "nation"), (sf_dir, "supplier")} == set(memo)
+    # memoized plan is returned on a hit
+    again = catalog.read_table(spark, sf_dir, "nation")
+    assert again is memo[(sf_dir, "nation")]
+    # a different session object gets its own memo dict
+    other = spark.newSession()
+    catalog.read_table(other, sf_dir, "region")
+    assert (sf_dir, "region") in catalog._READ_CACHE[other]
+    assert (sf_dir, "region") not in catalog._READ_CACHE[spark]
