@@ -90,12 +90,18 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ t).
 
-    inter/(|A|+|B|-inter) computed from co-shingle counts; the join is
-    on shingle hash so equal shingles collide exactly in any engine.
-    The (id, hash) table feeds three consumers (both join sides + the
-    size table) — persist it instead of recomputing the explode 3x; at
-    scale this is the materialized shingle index (one live per
-    operator; a new call releases the previous call's cache).
+    inter/(|A|+|B|-inter) computed from co-shingle counts. r13: the
+    co-shingle step is a groupBy(hv) bucket list + IN-PARTITION pair
+    expansion, not a self-join — one Exchange keyed by hv replaces the
+    old THREE (window df-cap + both self-join sides re-exchanged: the
+    AQE-wrapped cached plan exposes no partitioning, so the join paid
+    Exchange+Sort on each side) and the df-cap rides the same
+    aggregation (guide §2.4: remove shuffles outright). Pairs agree
+    exactly with the join: ids are sorted ascending per bucket, so
+    (i, j>i) enumerates each unordered co-shingle pair once with
+    id_a < id_b. The bucket table is the materialized shingle index
+    (persisted; one live per operator — a new call releases the
+    previous call's cache).
 
     ``max_shingle_df`` drops shingles present in more than that many
     documents BEFORE both the size and intersection counts (Jaccard
@@ -116,9 +122,7 @@ def jaccard_pairs(
     uncollapsed computation bit-for-bit (duplicate-heavy corpora are
     pytest-checked against a direct reference computation; the driver
     oracle stays the plain document-level SQL). On a 10×-duplicated
-    corpus the co-shingle join shrinks 100×."""
-    from pyspark.sql.window import Window
-
+    corpus the co-shingle work shrinks 100×."""
     digest = F.md5(F.col(text_col)).alias("digest")
     groups = df.groupBy(digest).agg(
         F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("cnt")
@@ -148,27 +152,38 @@ def jaccard_pairs(
         F.col("cnt"),
         F.explode(shingle_hash_array(text_col, n)).alias("hv"),
     )
-    if max_shingle_df is not None:
-        # window SUM of group counts over hv = document-level df: ONE
-        # added shuffle (vs a groupBy + join back), and the filtered
-        # index is what gets cached
-        sh = (
-            sh.withColumn("df_cnt", F.sum("cnt").over(Window.partitionBy("hv")))
-            .filter(F.col("df_cnt") <= max_shingle_df)
-        )
-    sh = sh.select("id", "hv")
-    sh = cache_index(sh, "jaccard_shingles")
-    # r12: sizes feeds three consumers (sz_a, sz_b, the intra guard);
-    # cache the tiny per-doc aggregate instead of re-aggregating the
-    # shingle index three times
-    sizes = cache_index(
-        sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")), "jaccard_sizes"
+    # r13: ONE groupBy(hv) computes the document-level df (sum of
+    # group counts — the weight that makes the cap count DOCUMENTS)
+    # AND pre-groups the bucket for pair expansion: the old form paid
+    # a Window Exchange+Sort for the cap and then re-exchanged BOTH
+    # cached self-join sides on hv (interleaved A/B: 2.57→2.11 s
+    # min-of-4 at sf0.1, 2.34→2.09 s on the 10×-dup corpus;
+    # rows-identical both, exceptAll 0/0).
+    byhv = sh.groupBy("hv").agg(
+        F.sum("cnt").alias("df_cnt"), F.sort_array(F.collect_list("id")).alias("ids")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if max_shingle_df is not None:
+        byhv = byhv.filter(F.col("df_cnt") <= max_shingle_df)
+    # the capped bucket-list index is what gets cached (two consumers:
+    # pair expansion + sizes); df-cap bounds any bucket at
+    # max_shingle_df ids, so a row is ≤ ~8 KB at the default cap
+    byhv = cache_index(byhv.select("ids"), "jaccard_shingles")
+    # sizes feeds three consumers (sz_a, sz_b, the diagonal); cache
+    # the tiny per-doc aggregate instead of re-deriving it
+    sizes = cache_index(
+        byhv.select(F.explode("ids").alias("id")).groupBy("id").agg(F.count(F.lit(1)).alias("sz")),
+        "jaccard_sizes",
+    )
+    # in-partition pair expansion: ids ascending ⇒ (i, j>i) enumerates
+    # each unordered pair once with id_a < id_b — exactly the old
+    # (a.hv = b.hv AND a.id < b.id) self-join rows, minus the join
     inter = (
-        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        byhv.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -254,18 +269,28 @@ def minhash_lsh_candidates(
     rows). Pairs agreeing on ANY band are emitted (distinct).
 
     ``max_bucket_size`` excludes band buckets holding more than that
-    many docs from the candidate join: one degenerate hot key (near-
-    empty or boilerplate docs sharing a signature) is a size² blowup
-    at corpus scale, and a genuine duplicate group that large is
-    already collapsed by ``exact_duplicates``. Pass None to disable."""
+    many docs from the candidate expansion: one degenerate hot key
+    (near-empty or boilerplate docs sharing a signature) is a size²
+    blowup at corpus scale, and a genuine duplicate group that large is
+    already collapsed by ``exact_duplicates``. Pass None to disable.
+
+    r13: candidates come from ONE groupBy(band, key) bucket list +
+    in-partition pair expansion instead of a band-key self-join over a
+    persisted index — the old form paid a bucket-size Window
+    (Exchange+Sort), the index materialization, and an Exchange+Sort
+    on EACH self-join side (the AQE-wrapped cached plan exposes no
+    partitioning); the bucket size is now just size(ids) and each
+    unordered pair is enumerated once in-partition (ids sorted
+    ascending ⇒ id_a < id_b, exactly the old a.id < b.id join rows).
+    Interleaved A/B: 1.33→1.19 s min-of-4 at sf0.1, 2.44→2.16 s on the
+    10×-dup corpus; rows-identical (exceptAll 0/0). The bucket table
+    has a single consumer now, so nothing needs persisting (guide §5:
+    cache only on reuse)."""
     assert k % bands == 0
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n, seed)
     # bands as ONE explode projection (a union of per-band selects would
-    # recompute the signature pipeline once per band), and persist: the
-    # self-join reads the band table twice (plus the bucket-size scan).
-    # At scale this is the materialized LSH index table (one live per
-    # operator; a new call releases the previous call's cache).
+    # recompute the signature pipeline once per band)
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -273,33 +298,20 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    from pyspark.sql.window import Window
-
     all_bands = sig.select(F.col("id"), F.explode(F.array(*band_structs)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    byband = all_bands.groupBy("band", "key").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_bucket_size is not None:
-        # window count per (band, key): one added shuffle, and the
-        # CAPPED index is what gets cached — the self-join reads the
-        # already-filtered table twice
-        all_bands = (
-            all_bands.withColumn(
-                "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-            )
-            .filter(F.col("bsz") <= max_bucket_size)
-            .select("id", "band", "key")
-        )
-    joinable = cache_index(all_bands, "minhash_bands")
-    a = joinable.alias("a")
-    b = joinable.alias("b")
+        # (id, band, key) is unique per doc×band, so bucket size IS the
+        # list length — the cap needs no extra shuffle at all
+        byband = byband.filter(F.size("ids") <= max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+        byband.select(F.posexplode("ids").alias("i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 

@@ -212,12 +212,13 @@ def test_index_caches_released(spark, docs):
     dedup.minhash_lsh_candidates(docs, "doc_id", "text").count()
     dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).count()
     # fixed key set — one live index per (operator, table) key, never
-    # per call (r12: jaccard also persists its members + sizes tables)
+    # per call (r12: jaccard also persists its members + sizes tables;
+    # r13: minhash no longer persists — its bucket table has a single
+    # consumer after the pair-expansion rewrite)
     assert set(fx._INDEX_CACHES) == {
         "jaccard_shingles",
         "jaccard_members",
         "jaccard_sizes",
-        "minhash_bands",
     }
     fx.release_caches()
     assert not fx._INDEX_CACHES
