@@ -320,36 +320,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     """Per-doc ``bits``-bit SimHash: bit j is the sign of the sum of
     votes (±1) of token-hash bit j over all tokens (with multiplicity).
 
-    r12: fully map-side — the token-hash array (multiplicity preserved)
-    is computed once per row, and each bit's vote sum is
-    ``2·|{hashes with bit j set}| − n_tokens`` (identical integer
-    arithmetic to summing ±1 per token). The old explode → groupBy(id)
-    form shuffled one row per TOKEN; this is a single scan with ZERO
-    shuffles (guide §2.3/2.4). Docs with no tokens produce no row,
-    exactly as the groupBy dropped them."""
+    r13: back to explode → groupBy(id) with ±1 vote sums, and
+    deliberately so. The r12 map-side form (token-hash array + 16 ×
+    ``size(filter(...))`` per row) rested on a wrong premise: the
+    exploded aggregate does PARTIAL map-side aggregation (plan:
+    ``partial_sum`` below the Exchange), so the shuffle carries one
+    row per doc-partition — never one per token — while the vote sums
+    run whole-stage-codegen'd. The array form evaluated 16 interpreted
+    HOF passes per row instead (guide §2.3 "aggregate before you
+    shuffle" + §1.1 empirical loop): quiet-box interleaved A/B shows
+    explode winning at BOTH scales — 1.03 vs 1.19 s (sf0.1, min-of-5)
+    and 0.86 vs 1.02 s (sf1, min-of-4) — and a single-pass
+    packed-lane fold of the array form measured flat (reports/r13),
+    because per-element interpreted dispatch, not the pass count, is
+    the cost. Output identical (exceptAll 0/0 both scales): docs with
+    no tokens explode to no rows, exactly as the old ``n > 0`` filter
+    dropped them."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
-    base = parallelize_input(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: hash32(t)).alias("hvs"),
-    )
-    def _bit_set(j: int):
-        # closure factory (a defaulted lambda would change HOF arity)
-        return lambda h: F.shiftright(h, j).bitwiseAND(1) == 1
-
-    counts = base.select(
-        "id",
-        F.size("hvs").alias("n"),
-        *[F.size(F.filter(F.col("hvs"), _bit_set(j))).alias(f"c{j}") for j in range(bits)],
-    )
+    tok = parallelize_input(df).select(F.col(id_col).alias("id"), F.explode(toks).alias("t"))
+    h = tok.select("id", hash32(F.col("t")).alias("hv"))
+    aggs = [
+        F.sum(F.when(F.shiftright("hv", j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = h.groupBy("id").agg(*aggs)
     sig: Column = F.lit(0).cast("long")
     for j in range(bits):
-        # votes v_j = 2*c_j - n; bit set when v_j > 0
-        sig = sig + F.when(2 * F.col(f"c{j}") - F.col("n") > 0, F.lit(2**j).cast("long")).otherwise(
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return counts.filter(F.col("n") > 0).select("id", sig.alias("simhash"))
+    return votes.select("id", sig.alias("simhash"))
 
 
 def embedding_near_dup(
