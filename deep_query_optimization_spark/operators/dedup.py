@@ -277,11 +277,14 @@ def minhash_lsh_candidates(
     r13: candidates come from ONE groupBy(band, key) bucket list +
     in-partition pair expansion instead of a band-key self-join over a
     persisted index — the old form paid a bucket-size Window
-    (Exchange+Sort), the index materialization, and an Exchange+Sort
-    on EACH self-join side (the AQE-wrapped cached plan exposes no
-    partitioning); the bucket size is now just size(ids) and each
-    unordered pair is enumerated once in-partition (ids sorted
-    ascending ⇒ id_a < id_b, exactly the old a.id < b.id join rows).
+    (Exchange+Sort), the index materialization, and a join of the
+    cache against a BroadcastExchange of ITSELF (the static planner
+    broadcast the whole band index because it is small at sf0.1 — a
+    shape that cannot survive at corpus scale, where the index exceeds
+    the broadcast cap and the join degrades to Exchange+Sort per
+    side). Now the bucket size is just size(ids) and each unordered
+    pair is enumerated once in-partition (ids sorted ascending ⇒
+    id_a < id_b, exactly the old a.id < b.id join rows).
     Interleaved A/B: 1.33→1.19 s min-of-4 at sf0.1, 2.44→2.16 s on the
     10×-dup corpus; rows-identical (exceptAll 0/0). The bucket table
     has a single consumer now, so nothing needs persisting (guide §5:
